@@ -1,0 +1,29 @@
+from thermalporous_tpu.core.grid import (
+    Grid,
+    divergence_add,
+    face_left,
+    face_right,
+    harmonic_face_transmissibility,
+    shift_minus,
+    shift_plus,
+)
+from thermalporous_tpu.core.stencil import (
+    BlockStencil,
+    ScalarStencil,
+    apply_blocks,
+    invert_blocks,
+)
+
+__all__ = [
+    "Grid",
+    "BlockStencil",
+    "ScalarStencil",
+    "apply_blocks",
+    "invert_blocks",
+    "divergence_add",
+    "face_left",
+    "face_right",
+    "harmonic_face_transmissibility",
+    "shift_minus",
+    "shift_plus",
+]

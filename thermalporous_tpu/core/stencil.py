@@ -1,0 +1,184 @@
+"""Block 7-point stencil matrices on structured grids.
+
+TPU-native replacement for the assembled PETSc ``MatAIJ`` Jacobians the
+reference hands to its preconditioners (SURVEY.md §2.12–2.16): instead of a
+distributed CSR matrix we keep the Newton Jacobian's sparsity explicitly as
+per-cell dense blocks —
+
+- ``diag``  : (nc, nc, *shape)   coupling of each cell to itself,
+- ``upper[a]``: (nc, nc, *shape) coupling of cell i to its +a neighbour
+  (zero on the last slice along a),
+- ``lower[a]``: (nc, nc, *shape) coupling of cell i to its −a neighbour
+  (zero on the first slice along a).
+
+This layout is dense, static-shaped, and vectorizes perfectly on the VPU;
+no CSR, no graph, no assembly scatter.  The Krylov operator itself stays
+matrix-free (``jax.jvp``); stencils exist only for preconditioning, which
+mirrors how the reference assembles the Jacobian chiefly to feed CPR/CPTR.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from thermalporous_tpu.core.grid import shift_minus, shift_plus
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BlockStencil:
+    """Block 7-point (5-point in 2D) stencil operator."""
+
+    diag: jax.Array                 # (nc, nc, *shape)
+    upper: tuple[jax.Array, ...]    # per axis, (nc, nc, *shape)
+    lower: tuple[jax.Array, ...]    # per axis, (nc, nc, *shape)
+
+    @property
+    def nc(self) -> int:
+        return self.diag.shape[0]
+
+    @property
+    def grid_shape(self) -> tuple[int, ...]:
+        return self.diag.shape[2:]
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        """Apply the stencil to a state-shaped vector ``v`` of shape (nc, *shape)."""
+        y = jnp.einsum("ij...,j...->i...", self.diag, v)
+        for a, (up, lo) in enumerate(zip(self.upper, self.lower)):
+            y = y + jnp.einsum("ij...,j...->i...", up, shift_minus(v, a, lead=1))
+            y = y + jnp.einsum("ij...,j...->i...", lo, shift_plus(v, a, lead=1))
+        return y
+
+    def scalar(self, row: int, col: int) -> "ScalarStencil":
+        """Extract the scalar sub-stencil of one (equation, unknown) pair."""
+        return ScalarStencil(
+            diag=self.diag[row, col],
+            upper=tuple(u[row, col] for u in self.upper),
+            lower=tuple(l[row, col] for l in self.lower),
+        )
+
+    def block(self, rows: slice, cols: slice) -> "BlockStencil":
+        """Extract a sub-block stencil (e.g. the (p,T) 2×2 system for CPTR)."""
+        return BlockStencil(
+            diag=self.diag[rows, cols],
+            upper=tuple(u[rows, cols] for u in self.upper),
+            lower=tuple(l[rows, cols] for l in self.lower),
+        )
+
+    def diag_inverse(self) -> jax.Array:
+        """Per-cell inverse of the diagonal blocks, shape (nc, nc, *shape)."""
+        return invert_blocks(self.diag)
+
+    def scale_rows(self, w: jax.Array) -> "BlockStencil":
+        """Left-multiply every cell's equations by a per-cell block ``w``.
+
+        ``w`` has shape (nc, nc, *shape); this is the decoupling operation of
+        CPR/CPTR (SURVEY.md §2.8): the stencil of W·A where W = blockdiag(w).
+        """
+        mul = lambda blk: jnp.einsum("ik...,kj...->ij...", w, blk)
+        return BlockStencil(
+            diag=mul(self.diag),
+            upper=tuple(mul(u) for u in self.upper),
+            lower=tuple(mul(l) for l in self.lower),
+        )
+
+    def to_dense(self) -> jax.Array:
+        """Materialize as a dense (nc·N, nc·N) matrix (tests / tiny grids only)."""
+        nc = self.nc
+        shape = self.grid_shape
+        n = 1
+        for s in shape:
+            n *= s
+        eye = jnp.eye(nc * n, dtype=self.diag.dtype)
+        cols = eye.reshape((nc * n, nc) + shape)
+        out = jax.vmap(self.matvec)(cols)  # (ncn, nc, *shape) = A @ e_j rows
+        return out.reshape(nc * n, nc * n).T
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ScalarStencil:
+    """Scalar 7-point stencil (one equation, one unknown per cell)."""
+
+    diag: jax.Array                 # (*shape,)
+    upper: tuple[jax.Array, ...]
+    lower: tuple[jax.Array, ...]
+
+    @property
+    def grid_shape(self) -> tuple[int, ...]:
+        return self.diag.shape
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        y = self.diag * v
+        for a, (up, lo) in enumerate(zip(self.upper, self.lower)):
+            y = y + up * shift_minus(v, a, lead=0)
+            y = y + lo * shift_plus(v, a, lead=0)
+        return y
+
+    def row_abs_sum(self) -> jax.Array:
+        """Σ_j |a_ij| per cell — Gershgorin bound material."""
+        s = jnp.abs(self.diag)
+        for up, lo in zip(self.upper, self.lower):
+            s = s + jnp.abs(up) + jnp.abs(lo)
+        return s
+
+    def to_dense(self) -> jax.Array:
+        shape = self.grid_shape
+        n = 1
+        for s in shape:
+            n *= s
+        cols = jnp.eye(n, dtype=self.diag.dtype).reshape((n,) + shape)
+        out = jax.vmap(self.matvec)(cols)
+        return out.reshape(n, n).T
+
+
+def invert_blocks(d: jax.Array) -> jax.Array:
+    """Invert per-cell (nc, nc) blocks stored as (nc, nc, *shape).
+
+    Closed forms for nc∈{1,2,3} (VPU-friendly: pure elementwise arithmetic,
+    no batched LAPACK), general fallback via ``jnp.linalg.inv``.
+    """
+    nc = d.shape[0]
+    if nc == 1:
+        return 1.0 / d
+    if nc == 2:
+        a, b = d[0, 0], d[0, 1]
+        c, e = d[1, 0], d[1, 1]
+        det = a * e - b * c
+        inv = jnp.stack(
+            [jnp.stack([e, -b]), jnp.stack([-c, a])]
+        )
+        return inv / det
+    if nc == 3:
+        a = d
+        c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+        c01 = a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]
+        c02 = a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]
+        c10 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+        c11 = a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0]
+        c12 = a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]
+        c20 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+        c21 = a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1]
+        c22 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+        det = a[0, 0] * c00 + a[0, 1] * c10 + a[0, 2] * c20
+        inv = jnp.stack(
+            [
+                jnp.stack([c00, c01, c02]),
+                jnp.stack([c10, c11, c12]),
+                jnp.stack([c20, c21, c22]),
+            ]
+        )
+        return inv / det
+    # general fallback: move block axes last, batch-invert, move back
+    perm = tuple(range(2, d.ndim)) + (0, 1)
+    inv = jnp.linalg.inv(jnp.transpose(d, perm))
+    back = (d.ndim - 2, d.ndim - 1) + tuple(range(d.ndim - 2))
+    return jnp.transpose(inv, back)
+
+
+def apply_blocks(w: jax.Array, v: jax.Array) -> jax.Array:
+    """Apply per-cell blocks ``w`` (nc, nc, *shape) to a vector (nc, *shape)."""
+    return jnp.einsum("ij...,j...->i...", w, v)

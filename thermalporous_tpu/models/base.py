@@ -1,0 +1,212 @@
+"""Model base: generic TPFA residual evaluation and block-stencil assembly.
+
+This is the TPU-native replacement for the whole Firedrake assembly slice
+the reference exercises (UFL forms → TSFC-generated C cell/facet kernels →
+PyOP2 parloops; SURVEY.md §2.12–2.16 and §3.3).  A model is defined by two
+*local* pure functions:
+
+- ``cell_terms(u_cell, u_old_cell, dt, phi_cell, well_cell) -> (nc,)``
+  accumulation (backward Euler) and well/heater sources of one cell;
+- ``face_terms(axis, u_L, u_R, tgeo, tcond) -> (nc,)``
+  TPFA fluxes (with upwinding and gravity) through one interior face.
+
+The SAME local functions are used three ways:
+
+1. broadcast over full arrays → the nonlinear residual (hot path; XLA fuses
+   the elementwise chains — the Pallas fusion in ``kernels/`` is layered on
+   top later without changing semantics);
+2. under ``jax.jvp`` → exact matrix-free Jacobian-vector products for the
+   Krylov operator (upwind ``where`` branches differentiate the selected
+   branch, exactly the Newton linearization of an upwind FV scheme);
+3. under ``vmap(jacfwd)`` → the exact per-cell block 7-point stencil of the
+   Jacobian, consumed only by the CPR/CPTR preconditioner.
+
+By construction (1)–(3) are mutually consistent to machine precision, which
+the tests assert against dense ``jax.jacfwd``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thermalporous_tpu.core.grid import (
+    Grid,
+    divergence_add,
+    face_left,
+    face_right,
+    harmonic_face_transmissibility,
+)
+from thermalporous_tpu.core.stencil import BlockStencil
+from thermalporous_tpu.physics.props import PhysicalParams
+from thermalporous_tpu.physics.wells import (
+    Heater,
+    Well,
+    WellFields,
+    build_well_fields,
+    empty_well_fields,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ProblemData:
+    """All array-valued problem data (a pytree; jit argument).
+
+    Fields:
+      tgeo: per-axis geometric face transmissibilities A·k̄/Δ [m³].
+      tcond: per-axis conductive face transmissibilities A·κ̄/Δ [W/K].
+      phi: porosity field.
+      wells: dense well/heater source fields.
+    """
+
+    tgeo: tuple[jax.Array, ...]
+    tcond: tuple[jax.Array, ...]
+    phi: jax.Array
+    wells: WellFields
+
+
+def make_problem_data(
+    grid: Grid,
+    pp: PhysicalParams,
+    kx: np.ndarray | jax.Array,
+    ky: np.ndarray | jax.Array | None = None,
+    kz: np.ndarray | jax.Array | None = None,
+    phi: np.ndarray | jax.Array | float = 0.2,
+    wells: Sequence[Well] = (),
+    heaters: Sequence[Heater] = (),
+    dtype=jnp.float64,
+) -> ProblemData:
+    """Precompute transmissibilities and well fields for a case."""
+    kx = jnp.asarray(kx, dtype=dtype) * jnp.ones(grid.shape, dtype=dtype)
+    ky = kx if ky is None else jnp.asarray(ky, dtype=dtype) * jnp.ones(grid.shape, dtype=dtype)
+    kz = kx if kz is None else jnp.asarray(kz, dtype=dtype) * jnp.ones(grid.shape, dtype=dtype)
+    k_axes = [kx, ky, kz][: grid.dim]
+    tgeo = harmonic_face_transmissibility(grid, k_axes)
+    kappa = pp.kappa_eff * jnp.ones(grid.shape, dtype=dtype)
+    tcond = harmonic_face_transmissibility(grid, [kappa] * grid.dim)
+    phi_arr = jnp.asarray(phi, dtype=dtype) * jnp.ones(grid.shape, dtype=dtype)
+    wf = build_well_fields(
+        grid, wells, heaters, kx=np.asarray(kx), ky=np.asarray(ky), dtype=dtype
+    )
+    if not wells and not heaters:
+        wf = empty_well_fields(grid, dtype=dtype)
+    return ProblemData(tgeo=tgeo, tcond=tcond, phi=phi_arr, wells=wf)
+
+
+class ThermalModelBase:
+    """Shared residual/stencil machinery; subclasses define the local physics.
+
+    Mirrors the role of the reference's ``ThermalModel`` +
+    ``init_variational_form`` pair (``thermalporous/thermalmodel.py``,
+    ``singlephase.py``/``twophase.py`` upstream, unverified — SURVEY.md
+    §2.1–2.3), with UFL replaced by the two local functions.
+    """
+
+    nc: int = 0
+
+    def __init__(self, grid: Grid, pp: PhysicalParams):
+        self.grid = grid
+        self.pp = pp
+        # Static depth difference depth_L − depth_R across a face per axis:
+        # gravity acts along the last axis of a 3D grid, depth grows with
+        # index, so depth_L − depth_R = −dz there and 0 elsewhere.
+        dd = [0.0] * grid.dim
+        if grid.dim == 3 and grid.gravity != 0.0:
+            dd[2] = -grid.spacing[2]
+        self._ddepth = tuple(dd)
+
+    # -- subclass contract -------------------------------------------------
+    def cell_terms(self, u, u_old, dt, phi, well: WellFields):
+        raise NotImplementedError
+
+    def face_terms(self, axis: int, u_l, u_r, tgeo, tcond):
+        raise NotImplementedError
+
+    def initial_state(self, data: ProblemData, dtype=jnp.float64) -> jax.Array:
+        raise NotImplementedError
+
+    # -- residual (hot path) -------------------------------------------------
+    def residual(self, u: jax.Array, u_old: jax.Array, dt, data: ProblemData) -> jax.Array:
+        """Backward-Euler residual, shape (nc, *grid.shape).
+
+        R_i = V·(acc(u_i) − acc(u_old_i))/Δt + Σ_faces F_f − q_i = 0.
+        """
+        res = self.cell_terms(u, u_old, dt, data.phi, data.wells)
+        for axis in range(self.grid.dim):
+            f = self.face_terms(
+                axis,
+                face_left(u, axis),
+                face_right(u, axis),
+                data.tgeo[axis],
+                data.tcond[axis],
+            )
+            res = divergence_add(res, f, axis, lead=1)
+        return res
+
+    # -- Krylov operator -------------------------------------------------
+    def jvp(self, u, u_old, dt, data):
+        """Returns v ↦ J(u)·v as a closure (exact, matrix-free)."""
+
+        def op(v):
+            return jax.jvp(lambda x: self.residual(x, u_old, dt, data), (u,), (v,))[1]
+
+        return op
+
+    # -- stencil assembly (preconditioner only) ---------------------------
+    def assemble_stencil(self, u, u_old, dt, data: ProblemData) -> BlockStencil:
+        """Exact block 7-point stencil of ∂R/∂u via vmapped local jacfwd."""
+        grid = self.grid
+        nc = self.nc
+        shape = grid.shape
+        ncells = grid.ncells
+
+        # Diagonal contribution from cell terms (accumulation + wells).
+        flat = lambda a: a.reshape(a.shape[: a.ndim - grid.dim] + (ncells,))
+        u_f = flat(u).T            # (N, nc)
+        uo_f = flat(u_old).T
+        phi_f = data.phi.reshape(ncells)
+        wells_f = jax.tree.map(lambda a: a.reshape(ncells), data.wells)
+
+        cell_jac = jax.vmap(
+            jax.jacfwd(lambda uc, uoc, ph, wc: self.cell_terms(uc, uoc, dt, ph, wc)),
+            in_axes=(0, 0, 0, 0),
+        )(u_f, uo_f, phi_f, wells_f)          # (N, nc, nc)
+        diag = jnp.moveaxis(cell_jac, 0, -1).reshape((nc, nc) + shape)
+
+        uppers, lowers = [], []
+        for axis in range(grid.dim):
+            ul = face_left(u, axis)
+            ur = face_right(u, axis)
+            fshape = ul.shape[1:]
+            nf = math.prod(fshape)
+            ul_f = ul.reshape(nc, nf).T
+            ur_f = ur.reshape(nc, nf).T
+            tg_f = data.tgeo[axis].reshape(nf)
+            tc_f = data.tcond[axis].reshape(nf)
+
+            dfl, dfr = jax.vmap(
+                jax.jacfwd(
+                    lambda a, b, tg, tc: self.face_terms(axis, a, b, tg, tc),
+                    argnums=(0, 1),
+                )
+            )(ul_f, ur_f, tg_f, tc_f)          # each (nf, nc, nc)
+            dfl = jnp.moveaxis(dfl, 0, -1).reshape((nc, nc) + fshape)
+            dfr = jnp.moveaxis(dfr, 0, -1).reshape((nc, nc) + fshape)
+
+            pad_hi = [(0, 0), (0, 0)] + [(0, 0)] * grid.dim
+            pad_hi[2 + axis] = (0, 1)
+            pad_lo = [(0, 0), (0, 0)] + [(0, 0)] * grid.dim
+            pad_lo[2 + axis] = (1, 0)
+
+            # face f between L=R−1: F adds +F to R_L, −F to R_R.
+            uppers.append(jnp.pad(dfr, pad_hi))          # ∂R_L/∂u_R at cell L
+            lowers.append(jnp.pad(-dfl, pad_lo))         # ∂R_R/∂u_L at cell R
+            diag = diag + jnp.pad(dfl, pad_hi) - jnp.pad(dfr, pad_lo)
+
+        return BlockStencil(diag=diag, upper=tuple(uppers), lower=tuple(lowers))

@@ -1,0 +1,166 @@
+"""Flexible GMRES (right-preconditioned), jit-native.
+
+TPU-native replacement for PETSc KSP FGMRES (SURVEY.md §2.12–2.16): the
+reference wraps PETSc's C implementation; here the Krylov loop is a
+``lax.while_loop`` over statically-shaped basis arrays, so the whole solve
+lives inside one XLA program (no host round-trips per iteration).
+
+Flexible = the preconditioner may change between iterations (CPR/CPTR
+contains inner iterations), so the preconditioned vectors Z_j are stored and
+the solution is reconstructed from them, exactly as PETSc's ``fgmres`` does.
+
+The operator is matrix-free (a jvp closure); vectors keep their state shape
+``(nc, *grid)`` throughout — flattening is never materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FGMRESResult:
+    x: jax.Array
+    iters: jax.Array          # number of inner iterations performed
+    res_norm: jax.Array       # final (estimated) residual norm
+    converged: jax.Array      # bool
+    breakdown: jax.Array      # bool: happy/unhappy breakdown encountered
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Global dot product.  Under a sharded jit XLA lowers the reduction to
+    an ICI all-reduce — the TPU equivalent of PETSc's VecDot MPI allreduce."""
+    return jnp.vdot(a, b)
+
+
+def _norm(a: jax.Array) -> jax.Array:
+    return jnp.sqrt(_dot(a, a))
+
+
+def fgmres(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    precond: Callable[[jax.Array], jax.Array] | None = None,
+    x0: jax.Array | None = None,
+    rtol: float | jax.Array = 1e-5,
+    atol: float | jax.Array = 0.0,
+    maxiter: int = 60,
+) -> FGMRESResult:
+    """Solve A x = b with right-preconditioned flexible GMRES.
+
+    Single cycle of ``maxiter`` Arnoldi steps with early exit (restarts are
+    handled by the caller if ever needed; the CPR/CPTR-preconditioned solves
+    this library runs converge in O(10) iterations — [P2]'s premise).
+
+    Args:
+      matvec: v ↦ A v (state-shaped pytree-free array).
+      precond: r ↦ M⁻¹ r; identity if None.
+      rtol/atol: stop when ||r|| ≤ max(rtol·||b||, atol).
+      maxiter: Krylov dimension m (static).
+    """
+    if precond is None:
+        precond = lambda r: r
+
+    m = int(maxiter)
+    dtype = b.dtype
+    shape = b.shape
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    beta = _norm(r0)
+    b_norm = _norm(b)
+    tol = jnp.maximum(rtol * b_norm, atol)
+
+    # Krylov storage: V (m+1) basis vectors, Z m preconditioned vectors.
+    V = jnp.zeros((m + 1,) + shape, dtype=dtype)
+    Z = jnp.zeros((m,) + shape, dtype=dtype)
+    H = jnp.zeros((m + 1, m), dtype=dtype)
+    cs = jnp.zeros((m,), dtype=dtype)
+    sn = jnp.zeros((m,), dtype=dtype)
+    g = jnp.zeros((m + 1,), dtype=dtype)
+
+    safe_beta = jnp.where(beta > 0, beta, 1.0)
+    V = V.at[0].set(r0 / safe_beta)
+    g = g.at[0].set(beta)
+
+    def cond(carry):
+        j, V, Z, H, cs, sn, g, res, done = carry
+        return jnp.logical_and(j < m, jnp.logical_not(done))
+
+    def body(carry):
+        j, V, Z, H, cs, sn, g, res, done = carry
+        z = precond(V[j])
+        w = matvec(z)
+        Z = Z.at[j].set(z)
+
+        # modified Gram-Schmidt against all m+1 slots (unused slots are zero,
+        # so the masked contributions vanish; keeps shapes static)
+        def mgs(i, val):
+            w, H = val
+            h = _dot(V[i], w)
+            h = jnp.where(i <= j, h, 0.0)
+            w = w - h * V[i]
+            H = H.at[i, j].set(h)
+            return (w, H)
+
+        w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+        h_next = _norm(w)
+        breakdown = h_next <= 1e-300
+        V = V.at[j + 1].set(jnp.where(breakdown, 0.0, w / jnp.where(breakdown, 1.0, h_next)))
+        H = H.at[j + 1, j].set(h_next)
+
+        # apply previous Givens rotations to the new column
+        def rot(i, H):
+            h1 = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
+            h2 = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+            H = H.at[i, j].set(jnp.where(i < j, h1, H[i, j]))
+            H = H.at[i + 1, j].set(jnp.where(i < j, h2, H[i + 1, j]))
+            return H
+
+        H = jax.lax.fori_loop(0, m, rot, H)
+
+        # new rotation annihilating H[j+1, j]
+        a, bb = H[j, j], H[j + 1, j]
+        r_ = jnp.sqrt(a * a + bb * bb)
+        r_safe = jnp.where(r_ > 0, r_, 1.0)
+        c_new = jnp.where(r_ > 0, a / r_safe, 1.0)
+        s_new = jnp.where(r_ > 0, bb / r_safe, 0.0)
+        cs = cs.at[j].set(c_new)
+        sn = sn.at[j].set(s_new)
+        H = H.at[j, j].set(c_new * a + s_new * bb)
+        H = H.at[j + 1, j].set(0.0)
+        g = g.at[j + 1].set(-s_new * g[j])
+        g = g.at[j].set(c_new * g[j])
+
+        res = jnp.abs(g[j + 1])
+        done = jnp.logical_or(res <= tol, breakdown)
+        return (j + 1, V, Z, H, cs, sn, g, res, done)
+
+    init_done = beta <= tol
+    carry = (jnp.asarray(0), V, Z, H, cs, sn, g, beta, init_done)
+    j, V, Z, H, cs, sn, g, res, done = jax.lax.while_loop(cond, body, carry)
+
+    # back-substitution on the k×k leading system, masked for dynamic k=j:
+    # zero unused columns, unit diagonal on unused rows, zero rhs beyond k.
+    idx = jnp.arange(m)
+    active = idx < j
+    Hm = H[:m, :m]
+    Hm = jnp.where(jnp.logical_and(active[None, :], active[:, None]), Hm, 0.0)
+    Hm = Hm + jnp.diag(jnp.where(active, 0.0, 1.0))
+    rhs = jnp.where(active, g[:m], 0.0)
+    y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
+
+    x = x0 + jnp.tensordot(y, Z, axes=(0, 0))
+    converged = res <= tol
+    return FGMRESResult(
+        x=x,
+        iters=j,
+        res_norm=res,
+        converged=converged,
+        breakdown=jnp.logical_and(done, jnp.logical_not(converged)),
+    )
