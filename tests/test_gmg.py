@@ -1,0 +1,116 @@
+"""Geometric multigrid tests: Galerkin identity, V-cycle convergence."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thermalporous_tpu.core import Grid, ScalarStencil, harmonic_face_transmissibility
+from thermalporous_tpu.precond import (
+    GMGConfig,
+    chebyshev,
+    galerkin_coarsen,
+    gmg_apply,
+    gmg_setup,
+    weighted_jacobi,
+)
+
+
+def poisson_stencil(shape, k=None, shift=1e-3, rng=None):
+    """TPFA diffusion stencil with a small diagonal shift (time-derivative-like)."""
+    grid = Grid(shape=shape, spacing=tuple(1.0 for _ in shape))
+    if k is None:
+        k = jnp.ones(shape)
+    tf = harmonic_face_transmissibility(grid, [k] * len(shape))
+    diag = shift * jnp.ones(shape)
+    uppers, lowers = [], []
+    for a, t in enumerate(tf):
+        pad_hi = [(0, 0)] * len(shape)
+        pad_hi[a] = (0, 1)
+        pad_lo = [(0, 0)] * len(shape)
+        pad_lo[a] = (1, 0)
+        uppers.append(-jnp.pad(t, pad_hi))
+        lowers.append(-jnp.pad(t, pad_lo))
+        diag = diag + jnp.pad(t, pad_hi) + jnp.pad(t, pad_lo)
+    return ScalarStencil(diag=diag, upper=tuple(uppers), lower=tuple(lowers))
+
+
+def _dense_restriction(fine_shape):
+    """Dense summation-restriction matrix (piecewise-constant aggregation)."""
+    coarse_shape = tuple((n + 1) // 2 for n in fine_shape)
+    nf, ncs = math.prod(fine_shape), math.prod(coarse_shape)
+    r = np.zeros((ncs, nf))
+    for idx in np.ndindex(*fine_shape):
+        cidx = tuple(i // 2 for i in idx)
+        r[np.ravel_multi_index(cidx, coarse_shape), np.ravel_multi_index(idx, fine_shape)] = 1.0
+    return r
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (5, 3), (6, 7), (4, 5, 3)])
+def test_galerkin_coarsening_is_rap(shape, rng):
+    k = jnp.asarray(np.exp(rng.standard_normal(shape)))
+    st = poisson_stencil(shape, k=k, shift=0.1)
+    coarse = galerkin_coarsen(st)
+    a = np.asarray(st.to_dense())
+    r = _dense_restriction(shape)
+    rap = r @ a @ r.T  # P = Rᵀ for constant interpolation
+    np.testing.assert_allclose(np.asarray(coarse.to_dense()), rap, atol=1e-12)
+
+
+def test_smoothers_reduce_error(rng):
+    st = poisson_stencil((16, 16), shift=1e-2)
+    x_true = jnp.asarray(rng.standard_normal((16, 16)))
+    b = st.matvec(x_true)
+    for smooth in (
+        lambda b: chebyshev(st, b, degree=5),
+        lambda b: weighted_jacobi(st, b, sweeps=5),
+    ):
+        x = smooth(b)
+        r = np.linalg.norm(np.asarray(b - st.matvec(x)))
+        assert r < np.linalg.norm(np.asarray(b))
+
+
+@pytest.mark.parametrize("shape", [(32, 32), (33, 17), (16, 16, 8)])
+def test_vcycle_converges_homogeneous(shape, rng):
+    st = poisson_stencil(shape, shift=1e-4)
+    state = gmg_setup(st)
+    cfg = GMGConfig()
+    x_true = jnp.asarray(rng.standard_normal(shape))
+    b = st.matvec(x_true)
+    x = jnp.zeros(shape)
+    norms = [float(jnp.linalg.norm(b.ravel()))]
+    for _ in range(30):
+        r = b - st.matvec(x)
+        x = x + gmg_apply(state, r, cfg)
+        norms.append(float(jnp.linalg.norm((b - st.matvec(x)).ravel())))
+        if norms[-1] < 1e-9 * norms[0]:
+            break
+    # stationary V-cycle iteration must actually converge, at a PC-grade rate
+    # (piecewise-constant interpolation GMG: ~0.35-0.5 per cycle; it is used
+    # inside FGMRES, so this is the budget the outer counts are built on)
+    assert norms[-1] < 1e-7 * norms[0]
+    rate = (norms[-1] / norms[0]) ** (1.0 / (len(norms) - 1))
+    assert rate < 0.6, f"V-cycle convergence factor too slow: {rate:.3f}"
+
+
+def test_vcycle_heterogeneous_contrast(rng):
+    # 4 orders of magnitude permeability contrast in channels
+    shape = (32, 32)
+    logk = rng.standard_normal(shape)
+    logk[:, 10:14] += 9.0  # high-perm channel band
+    k = jnp.asarray(np.exp(logk))
+    st = poisson_stencil(shape, k=k, shift=1e-3)
+    state = gmg_setup(st)
+    cfg = GMGConfig()
+    x_true = jnp.asarray(rng.standard_normal(shape))
+    b = st.matvec(x_true)
+    x = jnp.zeros(shape)
+    n0 = float(jnp.linalg.norm(b.ravel()))
+    for i in range(40):
+        r = b - st.matvec(x)
+        x = x + gmg_apply(state, r, cfg)
+        n = float(jnp.linalg.norm((b - st.matvec(x)).ravel()))
+        if n < 1e-8 * n0:
+            break
+    assert n < 1e-6 * n0, f"GMG stalled on heterogeneous problem: {n/n0:.2e}"

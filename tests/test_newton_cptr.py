@@ -1,0 +1,120 @@
+"""End-to-end solver tests: Newton–FGMRES–CPTR vs the f64 dense oracle.
+
+This is the rebuild's numerical acceptance gate (SURVEY.md §4): the
+production matrix-free stack must reproduce dense-LU Newton per-timestep to
+tight tolerance, and the CPTR preconditioner must deliver small, flat
+FGMRES iteration counts (the [P2] property and BASELINE.json's parity
+metric).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thermalporous_tpu.core import Grid
+from thermalporous_tpu.models import SinglePhaseModel, TwoPhaseModel, make_problem_data
+from thermalporous_tpu.physics import PhysicalParams, Well
+from thermalporous_tpu.solve import NewtonConfig, Simulator, oracle_run
+
+
+def _sp_case(n=12, seed=0, lx=120.0):
+    pp = PhysicalParams()
+    g = Grid(shape=(n, n), spacing=(lx / n, lx / n), thickness=5.0)
+    rng = np.random.default_rng(seed)
+    k = 1e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells)
+    return SinglePhaseModel(g, pp), data
+
+
+def _tp_case(n=8, seed=1, lx=80.0):
+    pp = PhysicalParams()
+    g = Grid(shape=(n, n), spacing=(lx / n, lx / n), thickness=5.0)
+    rng = np.random.default_rng(seed)
+    k = 5e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=4.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells)
+    return TwoPhaseModel(g, pp, s_init=0.2), data
+
+
+TIGHT = NewtonConfig(rtol=1e-10, ksp_rtol=1e-8, ksp_maxiter=80, max_iters=25)
+
+
+def _compare_states(u, u_ref, atol_p=50.0, atol_t=1e-4, atol_s=1e-7):
+    np.testing.assert_allclose(np.asarray(u[0]), u_ref[0], atol=atol_p, rtol=0)
+    np.testing.assert_allclose(np.asarray(u[1]), u_ref[1], atol=atol_t, rtol=0)
+    if u.shape[0] > 2:
+        np.testing.assert_allclose(np.asarray(u[2]), u_ref[2], atol=atol_s, rtol=0)
+
+
+@pytest.mark.parametrize("precond", ["cptr", "cpr", "jacobi"])
+def test_sp_matches_oracle(precond):
+    model, data = _sp_case()
+    dts = [1800.0, 3600.0, 7200.0]
+    oracle_states = oracle_run(model, data, dts)
+
+    sim = Simulator(model, data, precond=precond, newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged), f"{precond}: newton failed"
+        _compare_states(u, u_ref)
+
+
+def test_tp_matches_oracle():
+    model, data = _tp_case()
+    dts = [3600.0, 7200.0]
+    oracle_states = oracle_run(model, data, dts)
+
+    sim = Simulator(model, data, precond="cptr", newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, u_ref)
+
+
+def test_cptr_iteration_counts_small_and_flat():
+    """The CPTR property: FGMRES counts small and ~flat under refinement."""
+    counts = {}
+    for n in (16, 32):
+        model, data = _sp_case(n=n)
+        sim = Simulator(model, data, precond="cptr")
+        u = model.initial_state(data)
+        tot_ksp = tot_newton = 0
+        for dt in (3600.0, 7200.0):
+            u, stats = sim.step(u, dt)
+            assert bool(stats.converged)
+            tot_ksp += int(stats.ksp_iters)
+            tot_newton += int(stats.iters)
+        counts[n] = tot_ksp / tot_newton
+    assert counts[16] < 25.0, f"CPTR iters too high: {counts}"
+    assert counts[32] < 1.8 * counts[16] + 2.0, f"CPTR not flat: {counts}"
+
+
+def test_adaptive_run_completes():
+    from thermalporous_tpu.solve import TimeConfig
+
+    model, data = _sp_case(n=10)
+    sim = Simulator(
+        model,
+        data,
+        precond="cptr",
+        time_cfg=TimeConfig(dt_init=600.0, growth=2.0),
+    )
+    result = sim.run(t_end=86400.0)
+    assert result.t == pytest.approx(86400.0)
+    assert result.steps < 40
+    # Δt controller grew the step
+    assert result.records[-1].dt > result.records[0].dt
+    # telemetry is populated
+    assert all(r.newton_iters >= 1 for r in result.records)
+    assert all(r.residual_norm <= 1e-6 * r.residual_norm0 + 1e-12 for r in result.records)

@@ -1,0 +1,35 @@
+from thermalporous_tpu.precond.chebyshev import (
+    chebyshev,
+    gershgorin_lambda_max,
+    weighted_jacobi,
+)
+from thermalporous_tpu.precond.cpr import (
+    CPRConfig,
+    CPRState,
+    cpr_apply,
+    cpr_setup,
+    make_preconditioner,
+)
+from thermalporous_tpu.precond.gmg import (
+    GMGConfig,
+    GMGState,
+    galerkin_coarsen,
+    gmg_apply,
+    gmg_setup,
+)
+
+__all__ = [
+    "chebyshev",
+    "gershgorin_lambda_max",
+    "weighted_jacobi",
+    "CPRConfig",
+    "CPRState",
+    "cpr_apply",
+    "cpr_setup",
+    "make_preconditioner",
+    "GMGConfig",
+    "GMGState",
+    "galerkin_coarsen",
+    "gmg_apply",
+    "gmg_setup",
+]

@@ -1,0 +1,86 @@
+"""Chebyshev iteration on Jacobi-scaled stencil operators.
+
+TPU-parallel replacement for the sequential smoothers the reference gets
+from PETSc/hypre (ILU(0), SOR — SURVEY.md §2.12–2.16 and §7 hard part #2):
+Chebyshev needs only stencil matvecs and a diagonal scale, both perfectly
+vectorizable on the VPU, and its smoothing quality is iteration-count
+competitive for the SPD-ish pressure/temperature blocks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from thermalporous_tpu.core.stencil import ScalarStencil
+
+
+def gershgorin_lambda_max(st: ScalarStencil) -> jax.Array:
+    """Upper bound on the spectrum of D⁻¹A via Gershgorin rows.
+
+    For the M-matrix-like TPFA+accumulation stencils this is ≤ 2 and tight
+    enough for Chebyshev smoothing bounds; cheap and state-free (no power
+    iteration inside the Newton loop).
+    """
+    return jnp.max(st.row_abs_sum() / jnp.abs(st.diag))
+
+
+def chebyshev(
+    st: ScalarStencil,
+    b: jax.Array,
+    x: jax.Array | None = None,
+    degree: int = 3,
+    lam_max: jax.Array | float | None = None,
+    lam_min_frac: float = 0.25,
+    lam_max_safety: float = 1.05,
+) -> jax.Array:
+    """``degree`` Chebyshev iterations on D⁻¹A x = D⁻¹b, starting from ``x``.
+
+    Targets the interval [lam_min_frac·λmax, λmax·safety] of the
+    Jacobi-preconditioned operator — the standard smoothing configuration
+    (high-frequency error killer for multigrid, stage-2 smoother for CPR).
+    """
+    if x is None:
+        x = jnp.zeros_like(b)
+    if lam_max is None:
+        lam_max = gershgorin_lambda_max(st)
+    lmax = lam_max * lam_max_safety
+    lmin = lam_max * lam_min_frac
+
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+    inv_diag = 1.0 / st.diag
+
+    z = inv_diag * (b - st.matvec(x))
+    d = z / theta
+    rho = 1.0 / sigma1
+
+    def body(_, carry):
+        x, d, rho = carry
+        x = x + d
+        z = inv_diag * (b - st.matvec(x))
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+        return (x, d, rho_new)
+
+    x, d, rho = jax.lax.fori_loop(0, degree - 1, body, (x, d, rho))
+    return x + d
+
+
+def weighted_jacobi(
+    st: ScalarStencil,
+    b: jax.Array,
+    x: jax.Array | None = None,
+    sweeps: int = 2,
+    omega: float = 0.8,
+) -> jax.Array:
+    """Damped Jacobi sweeps (fallback smoother for strongly nonsymmetric blocks)."""
+    if x is None:
+        x = jnp.zeros_like(b)
+    inv_diag = omega / st.diag
+
+    def body(_, x):
+        return x + inv_diag * (b - st.matvec(x))
+
+    return jax.lax.fori_loop(0, sweeps, body, x)

@@ -1,0 +1,117 @@
+"""CPR / CPTR two-stage preconditioners — the scientific core.
+
+TPU-native rebuild of the reference's ``thermalporous/preconditioners.py``
+(upstream, unverified — SURVEY.md §2.8), the custom PCBase classes behind
+papers arXiv:1812.11566 (CPR) and arXiv:1907.04229 (CPTR):
+
+  M⁻¹ r = x₁ + M₂⁻¹ (r − A x₁),   x₁ = P · stage1(R · W · r)
+
+- **decoupling** W: per-cell block scaling of the equations.  Default is
+  the full diagonal-block inverse (alternate-block-factorization form; the
+  reference's Quasi-IMPES/True-IMPES row weightings are cheaper specials of
+  the same idea — variants kept as config for iteration-count ablations).
+- **stage 1 (CPR)**: one geometric-multigrid V-cycle on the decoupled
+  pressure stencil (the BoomerAMG role).
+- **stage 1 (CPTR)**: block-triangular solve of the (p,T) 2×2 subsystem —
+  V-cycle on p, correct the T residual through the T←p coupling, V-cycle on
+  T.  This is the [P2] contribution: temperature is parabolic/advective and
+  needs its own multigrid treatment.
+- **stage 2**: per-cell block-Jacobi with exact nc×nc inverses (the
+  TPU-parallel stand-in for ILU(0), which is inherently sequential).
+
+Everything here is stencil algebra on dense per-cell blocks: setup is a few
+VPU passes per Newton iteration, apply is a handful of stencil matvecs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from thermalporous_tpu.core.stencil import BlockStencil, ScalarStencil, apply_blocks
+from thermalporous_tpu.precond.gmg import GMGConfig, GMGState, gmg_apply, gmg_setup
+
+
+@dataclasses.dataclass(frozen=True)
+class CPRConfig:
+    """Static configuration of the two-stage preconditioner."""
+
+    variant: str = "cptr"            # "cpr" | "cptr"
+    stage2: str = "block_jacobi"     # "block_jacobi" | "none"
+    triangular: bool = True          # CPTR stage-1: triangular vs block-diagonal
+    gmg: GMGConfig = GMGConfig()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CPRState:
+    """Per-Newton-iteration preconditioner state (a pytree)."""
+
+    stencil: BlockStencil            # original Jacobian stencil A
+    dinv: jax.Array                  # per-cell inverse diagonal blocks (W)
+    gmg_p: GMGState                  # hierarchy on decoupled pressure block
+    gmg_t: GMGState | None           # hierarchy on decoupled temperature block
+    a_tp: ScalarStencil | None       # decoupled T-equation ← p-unknown coupling
+
+
+def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
+    dinv = stencil.diag_inverse()
+    dec = stencil.scale_rows(dinv)      # W·A with unit diagonal blocks
+    app = dec.scalar(0, 0)
+    gmg_p = gmg_setup(app, cfg.gmg)
+    if cfg.variant == "cptr":
+        att = dec.scalar(1, 1)
+        gmg_t = gmg_setup(att, cfg.gmg)
+        a_tp = dec.scalar(1, 0)
+    else:
+        gmg_t = None
+        a_tp = None
+    return CPRState(stencil=stencil, dinv=dinv, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp)
+
+
+def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> jax.Array:
+    """Apply M⁻¹ to a state-shaped residual r (nc, *grid)."""
+    w = apply_blocks(state.dinv, r)     # decoupled residual W·r
+
+    # stage 1 on the elliptic block(s)
+    e_p = gmg_apply(state.gmg_p, w[0], cfg.gmg)
+    x1 = jnp.zeros_like(r).at[0].set(e_p)
+    if cfg.variant == "cptr":
+        r_t = w[1]
+        if cfg.triangular:
+            r_t = r_t - state.a_tp.matvec(e_p)
+        e_t = gmg_apply(state.gmg_t, r_t, cfg.gmg)
+        x1 = x1.at[1].set(e_t)
+
+    # stage 2: multiplicative block-Jacobi correction on the full system
+    if cfg.stage2 == "block_jacobi":
+        return x1 + apply_blocks(state.dinv, r - state.stencil.matvec(x1))
+    return x1
+
+
+# ---------------------------------------------------------------- registry
+
+def make_preconditioner(name: str, cfg: CPRConfig | None = None):
+    """Return (setup, apply) closures for a named preconditioner.
+
+    Names mirror the reference's solver-parameter presets (SURVEY.md §2.1):
+    "none", "jacobi" (per-cell block-Jacobi), "cpr", "cptr".
+    """
+    name = name.lower()
+    if name == "none":
+        return (lambda st: None, lambda state, r: r)
+    if name == "jacobi":
+        return (
+            lambda st: st.diag_inverse(),
+            lambda dinv, r: apply_blocks(dinv, r),
+        )
+    if name in ("cpr", "cptr"):
+        cfg = cfg or CPRConfig()
+        cfg = dataclasses.replace(cfg, variant=name)
+        return (
+            lambda st: cpr_setup(st, cfg),
+            lambda state, r: cpr_apply(state, r, cfg),
+        )
+    raise ValueError(f"unknown preconditioner {name!r}")

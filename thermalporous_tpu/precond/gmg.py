@@ -1,0 +1,178 @@
+"""Geometric multigrid on scalar 7-point stencils.
+
+TPU-native replacement for hypre BoomerAMG, which the reference invokes for
+the stage-1 pressure/temperature solves of CPR/CPTR (SURVEY.md §2.8,
+§2.12–2.16).  On structured grids algebraic multigrid is dead weight: the
+grid hierarchy is known, so we use cell-centred geometric multigrid with
+
+- piecewise-constant interpolation P (injection) and its adjoint summation
+  restriction R — the natural DG0/finite-volume pair;
+- Galerkin coarse operators A_c = R·A·P, which for a 7-point stencil stay
+  7-point and reduce to masked block sums of the fine coefficients (a few
+  VPU reductions; no sparse products);
+- Chebyshev (or damped-Jacobi) smoothing — TPU-parallel, replacing ILU;
+- a dense LU solve on the coarsest level (≤ ~max_coarse_cells cells).
+
+Heterogeneity (SPE10-class contrast) is carried by the Galerkin coarsening
+of the transmissibility-weighted fine stencil; SURVEY.md §7 hard part #1
+tracks its limits — the FGMRES wrapper absorbs a mediocre cycle.
+
+Odd grid sizes coarsen raggedly (last coarse cell holds one fine cell), so
+any shape — e.g. SPE10's 60×220×85 — has a full hierarchy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from thermalporous_tpu.core.stencil import ScalarStencil
+from thermalporous_tpu.precond.chebyshev import (
+    chebyshev,
+    gershgorin_lambda_max,
+    weighted_jacobi,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GMGConfig:
+    """Static multigrid configuration."""
+
+    smoother: str = "chebyshev"       # "chebyshev" | "jacobi"
+    degree: int = 2                   # smoothing steps pre and post
+    lam_min_frac: float = 0.3         # Chebyshev smoothing interval lower end
+    jacobi_omega: float = 0.8
+    max_coarse_cells: int = 64        # stop coarsening at/below this size
+    max_levels: int = 16
+    cycles: int = 1                   # V-cycles per apply
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GMGState:
+    """Per-Newton-iteration multigrid hierarchy (a pytree)."""
+
+    stencils: tuple[ScalarStencil, ...]
+    lam_max: tuple[jax.Array, ...]
+    coarse_lu: jax.Array
+    coarse_piv: jax.Array
+
+
+def _coarse_shape(shape: tuple[int, ...]) -> tuple[int, ...]:
+    return tuple((n + 1) // 2 for n in shape)
+
+
+def _blocksum(x: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
+    """Sum over 2-cell blocks per axis (ragged tail zero-padded)."""
+    for axis in range(len(fine_shape)):
+        n = x.shape[axis]
+        if n % 2 == 1:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, 1)
+            x = jnp.pad(x, pad)
+        m = x.shape[axis] // 2
+        new_shape = x.shape[:axis] + (m, 2) + x.shape[axis + 1 :]
+        x = x.reshape(new_shape).sum(axis=axis + 1)
+    return x
+
+
+def _prolong(e: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
+    """Piecewise-constant injection back to the fine grid."""
+    for axis in range(len(fine_shape)):
+        e = jnp.repeat(e, 2, axis=axis)
+        n = fine_shape[axis]
+        if e.shape[axis] != n:
+            e = jax.lax.slice_in_dim(e, 0, n, axis=axis)
+    return e
+
+
+def galerkin_coarsen(st: ScalarStencil) -> ScalarStencil:
+    """A_c = R·A·P with summation restriction / injection prolongation.
+
+    Cell-centric form: a fine face along axis a is interior to a coarse cell
+    iff its lower cell has an even a-index; such couplings fold into the
+    coarse diagonal, the rest into the coarse off-diagonals.
+    """
+    shape = st.grid_shape
+    dim = len(shape)
+
+    def axis_mask(axis: int, even: bool) -> jax.Array:
+        idx = jnp.arange(shape[axis])
+        m = (idx % 2 == 0) if even else (idx % 2 == 1)
+        view = [1] * dim
+        view[axis] = shape[axis]
+        return m.astype(st.diag.dtype).reshape(view)
+
+    d = st.diag
+    for a in range(dim):
+        d = d + st.upper[a] * axis_mask(a, even=True)
+        d = d + st.lower[a] * axis_mask(a, even=False)
+
+    coarse_d = _blocksum(d, shape)
+    coarse_up = tuple(
+        _blocksum(st.upper[a] * axis_mask(a, even=False), shape) for a in range(dim)
+    )
+    coarse_lo = tuple(
+        _blocksum(st.lower[a] * axis_mask(a, even=True), shape) for a in range(dim)
+    )
+    return ScalarStencil(diag=coarse_d, upper=coarse_up, lower=coarse_lo)
+
+
+def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
+    """Build the multigrid hierarchy for one stencil (per Newton iteration)."""
+    stencils = [st]
+    while (
+        math.prod(stencils[-1].grid_shape) > cfg.max_coarse_cells
+        and len(stencils) < cfg.max_levels
+        and any(n > 1 for n in stencils[-1].grid_shape)
+    ):
+        stencils.append(galerkin_coarsen(stencils[-1]))
+
+    lam_max = tuple(gershgorin_lambda_max(s) for s in stencils[:-1])
+    dense = stencils[-1].to_dense()
+    lu, piv = jax.scipy.linalg.lu_factor(dense)
+    return GMGState(
+        stencils=tuple(stencils),
+        lam_max=lam_max,
+        coarse_lu=lu,
+        coarse_piv=piv,
+    )
+
+
+def _smooth(st, lam, b, x, cfg: GMGConfig):
+    if cfg.smoother == "chebyshev":
+        return chebyshev(
+            st, b, x, degree=cfg.degree, lam_max=lam, lam_min_frac=cfg.lam_min_frac
+        )
+    return weighted_jacobi(st, b, x, sweeps=cfg.degree, omega=cfg.jacobi_omega)
+
+
+def _v_cycle(state: GMGState, level: int, b: jax.Array, cfg: GMGConfig) -> jax.Array:
+    if level == len(state.stencils) - 1:
+        shape = state.stencils[level].grid_shape
+        n = math.prod(shape)
+        e = jax.scipy.linalg.lu_solve(
+            (state.coarse_lu, state.coarse_piv), b.reshape(n)
+        )
+        return e.reshape(shape)
+
+    st = state.stencils[level]
+    lam = state.lam_max[level]
+    x = _smooth(st, lam, b, None, cfg)
+    r = b - st.matvec(x)
+    rc = _blocksum(r, st.grid_shape)
+    ec = _v_cycle(state, level + 1, rc, cfg)
+    x = x + _prolong(ec, st.grid_shape)
+    return _smooth(st, lam, b, x, cfg)
+
+
+def gmg_apply(state: GMGState, b: jax.Array, cfg: GMGConfig = GMGConfig()) -> jax.Array:
+    """Approximate A⁻¹b with ``cfg.cycles`` V-cycles (the BoomerAMG stand-in)."""
+    x = _v_cycle(state, 0, b, cfg)
+    for _ in range(cfg.cycles - 1):
+        r = b - state.stencils[0].matvec(x)
+        x = x + _v_cycle(state, 0, r, cfg)
+    return x

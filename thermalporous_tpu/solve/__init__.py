@@ -1,0 +1,23 @@
+from thermalporous_tpu.solve.fgmres import FGMRESResult, fgmres
+from thermalporous_tpu.solve.newton import NewtonConfig, NewtonStats, newton_solve
+from thermalporous_tpu.solve.oracle import dense_newton_step, oracle_run
+from thermalporous_tpu.solve.timeloop import (
+    SimResult,
+    Simulator,
+    StepRecord,
+    TimeConfig,
+)
+
+__all__ = [
+    "FGMRESResult",
+    "fgmres",
+    "NewtonConfig",
+    "NewtonStats",
+    "newton_solve",
+    "dense_newton_step",
+    "oracle_run",
+    "SimResult",
+    "Simulator",
+    "StepRecord",
+    "TimeConfig",
+]

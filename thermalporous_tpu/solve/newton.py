@@ -1,0 +1,132 @@
+"""Newton's method with backtracking line search, jit-native.
+
+TPU-native replacement for PETSc SNES ``newtonls`` as the reference drives
+it (SURVEY.md §2.12–2.16, §3.1): a ``lax.while_loop`` over Newton
+iterations, each of which
+
+  1. assembles the block stencil and builds the preconditioner state,
+  2. solves J·dx = −F with right-preconditioned FGMRES (matrix-free J),
+  3. backtracks α ∈ {1, ½, ¼, …} until sufficient decrease of ‖F‖.
+
+The whole solve is one XLA program: no host round-trips per iteration, so
+per-step dispatch overhead is one launch regardless of iteration counts.
+Divergence (line search exhausted / non-finite residual) sets a ``failed``
+flag consumed by the adaptive-Δt controller — the reference's behavior of
+signalling SNES divergence up to the time loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from thermalporous_tpu.solve.fgmres import fgmres
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonConfig:
+    max_iters: int = 15
+    rtol: float = 1e-6            # ‖F‖ ≤ max(rtol·‖F₀‖, atol)
+    atol: float = 0.0
+    ksp_rtol: float = 1e-5        # PETSc KSP default
+    ksp_atol: float = 0.0
+    ksp_maxiter: int = 60
+    max_backtracks: int = 6
+    ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NewtonStats:
+    iters: jax.Array          # Newton iterations performed
+    ksp_iters: jax.Array      # total FGMRES iterations
+    norm0: jax.Array          # initial residual norm
+    norm: jax.Array           # final residual norm
+    converged: jax.Array      # bool
+    failed: jax.Array         # bool: line search exhausted / non-finite
+
+
+def newton_solve(
+    residual: Callable[[jax.Array], jax.Array],
+    jvp_at: Callable[[jax.Array], Callable[[jax.Array], jax.Array]],
+    assemble: Callable[[jax.Array], object],
+    pc_setup: Callable[[object], object],
+    pc_apply: Callable[[object, jax.Array], jax.Array],
+    u0: jax.Array,
+    cfg: NewtonConfig = NewtonConfig(),
+) -> tuple[jax.Array, NewtonStats]:
+    """Solve residual(u) = 0 starting from ``u0``.
+
+    Args:
+      residual: u ↦ F(u), state-shaped.
+      jvp_at: u ↦ (v ↦ J(u)·v).
+      assemble: u ↦ BlockStencil of J(u) (preconditioner input only).
+      pc_setup/pc_apply: preconditioner factory and application.
+    """
+
+    def norm(f):
+        return jnp.sqrt(jnp.vdot(f, f))
+
+    f0 = residual(u0)
+    nrm0 = norm(f0)
+    tol = jnp.maximum(cfg.rtol * nrm0, cfg.atol)
+
+    def cond(carry):
+        u, f, nrm, k, ksp, failed = carry
+        go = jnp.logical_and(nrm > tol, k < cfg.max_iters)
+        return jnp.logical_and(go, jnp.logical_not(failed))
+
+    def body(carry):
+        u, f, nrm, k, ksp, failed = carry
+
+        pcs = pc_setup(assemble(u))
+        result = fgmres(
+            jvp_at(u),
+            -f,
+            precond=lambda r: pc_apply(pcs, r),
+            rtol=cfg.ksp_rtol,
+            atol=cfg.ksp_atol,
+            maxiter=cfg.ksp_maxiter,
+        )
+        dx = result.x
+
+        def ls_cond(c):
+            alpha, tries, accepted, u_t, f_t, n_t = c
+            return jnp.logical_and(
+                jnp.logical_not(accepted), tries < cfg.max_backtracks
+            )
+
+        def ls_body(c):
+            alpha, tries, accepted, u_t, f_t, n_t = c
+            u_try = u + alpha * dx
+            f_try = residual(u_try)
+            n_try = norm(f_try)
+            ok = jnp.logical_and(
+                jnp.isfinite(n_try), n_try <= (1.0 - cfg.ls_decrease * alpha) * nrm
+            )
+            return (alpha * 0.5, tries + 1, ok, u_try, f_try, n_try)
+
+        init = (jnp.asarray(1.0, dtype=u.dtype), jnp.asarray(0), jnp.asarray(False),
+                u, f, nrm)
+        _, _, accepted, u_new, f_new, n_new = jax.lax.while_loop(ls_cond, ls_body, init)
+
+        failed_now = jnp.logical_not(accepted)
+        # on failure keep the old iterate; the Δt controller will retry
+        u_new = jnp.where(failed_now, u, u_new)
+        f_new = jnp.where(failed_now, f, f_new)
+        n_new = jnp.where(failed_now, nrm, n_new)
+        return (u_new, f_new, n_new, k + 1, ksp + result.iters, failed_now)
+
+    carry = (u0, f0, nrm0, jnp.asarray(0), jnp.asarray(0), jnp.asarray(False))
+    u, f, nrm, k, ksp, failed = jax.lax.while_loop(cond, body, carry)
+
+    converged = nrm <= tol
+    stats = NewtonStats(
+        iters=k, ksp_iters=ksp, norm0=nrm0, norm=nrm,
+        converged=converged,
+        failed=jnp.logical_or(failed, jnp.logical_not(converged)),
+    )
+    return u, stats

@@ -1,0 +1,178 @@
+"""Simulation driver: backward-Euler time loop with adaptive Δt.
+
+TPU-native equivalent of the reference's ``ThermalModel.solve()``
+(``thermalporous/thermalmodel.py`` upstream, unverified — SURVEY.md §2.1):
+a host-side Python loop driving one fully-jitted ``advance(u_old, dt)``
+(Newton + FGMRES + preconditioner in a single XLA program).  The host owns
+only the Δt policy and telemetry — the reference's division of labour
+between its Python loop and PETSc, minus the per-iteration host crossings.
+
+Δt controller (mechanism HIGH-confidence, exact factors config — SURVEY.md
+§2.1): grow Δt by ``growth`` after an easy step (few Newton iterations),
+shrink by ``cutback`` and retry on divergence, clip to hit ``t_end``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from thermalporous_tpu.models.base import ProblemData, ThermalModelBase
+from thermalporous_tpu.precond.cpr import CPRConfig, make_preconditioner
+from thermalporous_tpu.solve.newton import NewtonConfig, newton_solve
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeConfig:
+    dt_init: float = 3600.0
+    dt_min: float = 1.0
+    dt_max: float = 1e7
+    growth: float = 1.5          # Δt multiplier after an easy step
+    cutback: float = 0.5         # Δt multiplier on failure / hard step
+    grow_below: int = 6          # grow when newton_iters < this
+    shrink_above: int = 10       # shrink next Δt when newton_iters > this
+    max_retries: int = 12
+
+
+@dataclasses.dataclass
+class StepRecord:
+    """One accepted timestep's telemetry (JSONL-friendly)."""
+
+    step: int
+    t: float
+    dt: float
+    newton_iters: int
+    ksp_iters: int
+    retries: int
+    residual_norm0: float
+    residual_norm: float
+    wall_s: float
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class SimResult:
+    u: jax.Array
+    t: float
+    steps: int
+    records: list
+    total_newton: int
+    total_ksp: int
+    wall_s: float
+
+
+class Simulator:
+    """Owns the jitted step and the adaptive-Δt host loop."""
+
+    def __init__(
+        self,
+        model: ThermalModelBase,
+        data: ProblemData,
+        precond: str = "cptr",
+        pc_cfg: CPRConfig | None = None,
+        newton_cfg: NewtonConfig = NewtonConfig(),
+        time_cfg: TimeConfig = TimeConfig(),
+    ):
+        self.model = model
+        self.data = data
+        self.newton_cfg = newton_cfg
+        self.time_cfg = time_cfg
+        pc_setup, pc_apply = make_preconditioner(precond, pc_cfg)
+
+        def advance(u_old, dt, data):
+            return newton_solve(
+                residual=lambda u: model.residual(u, u_old, dt, data),
+                jvp_at=lambda u: model.jvp(u, u_old, dt, data),
+                assemble=lambda u: model.assemble_stencil(u, u_old, dt, data),
+                pc_setup=pc_setup,
+                pc_apply=pc_apply,
+                u0=u_old,
+                cfg=newton_cfg,
+            )
+
+        self._advance = jax.jit(advance)
+
+    def step(self, u_old: jax.Array, dt: float):
+        """One Newton solve (no Δt adaptivity); returns (u, stats)."""
+        return self._advance(u_old, jnp.asarray(dt, dtype=u_old.dtype), self.data)
+
+    def run(
+        self,
+        t_end: float,
+        u0: jax.Array | None = None,
+        dt0: float | None = None,
+        max_steps: int = 100000,
+        callback: Callable[[int, float, jax.Array, StepRecord], None] | None = None,
+        verbose: bool = False,
+    ) -> SimResult:
+        tc = self.time_cfg
+        u = self.model.initial_state(self.data) if u0 is None else u0
+        t = 0.0
+        dt = tc.dt_init if dt0 is None else dt0
+        records: list[StepRecord] = []
+        run_start = time.perf_counter()
+        step_idx = 0
+
+        while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
+            dt = min(dt, tc.dt_max, t_end - t)
+            retries = 0
+            step_start = time.perf_counter()
+            while True:
+                u_new, stats = self.step(u, dt)
+                failed = bool(stats.failed)
+                if not failed:
+                    break
+                retries += 1
+                if retries > tc.max_retries or dt <= tc.dt_min:
+                    raise RuntimeError(
+                        f"step {step_idx}: Newton failed at dt={dt:.3e} after "
+                        f"{retries - 1} retries (|F| {float(stats.norm):.3e} of "
+                        f"{float(stats.norm0):.3e})"
+                    )
+                dt = max(dt * tc.cutback, tc.dt_min)
+
+            t += dt
+            step_idx += 1
+            rec = StepRecord(
+                step=step_idx,
+                t=t,
+                dt=dt,
+                newton_iters=int(stats.iters),
+                ksp_iters=int(stats.ksp_iters),
+                retries=retries,
+                residual_norm0=float(stats.norm0),
+                residual_norm=float(stats.norm),
+                wall_s=time.perf_counter() - step_start,
+            )
+            records.append(rec)
+            u = u_new
+            if verbose:
+                print(
+                    f"step {step_idx:4d}  t={t:.4e}  dt={dt:.3e}  "
+                    f"newton={rec.newton_iters}  ksp={rec.ksp_iters}  "
+                    f"retries={retries}"
+                )
+            if callback is not None:
+                callback(step_idx, t, u, rec)
+
+            # Δt policy for the next step
+            if rec.newton_iters < tc.grow_below:
+                dt = min(dt * tc.growth, tc.dt_max)
+            elif rec.newton_iters > tc.shrink_above:
+                dt = max(dt * tc.cutback, tc.dt_min)
+
+        return SimResult(
+            u=u,
+            t=t,
+            steps=step_idx,
+            records=records,
+            total_newton=sum(r.newton_iters for r in records),
+            total_ksp=sum(r.ksp_iters for r in records),
+            wall_s=time.perf_counter() - run_start,
+        )
