@@ -6,7 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from thermalporous_tpu.core import Grid, ScalarStencil, harmonic_face_transmissibility
+from thermalporous_tpu.core import (
+    Grid,
+    ScalarStencil,
+    harmonic_face_transmissibility,
+    shift_plus,
+)
 from thermalporous_tpu.precond import (
     GMGConfig,
     chebyshev,
@@ -26,13 +31,11 @@ def poisson_stencil(shape, k=None, shift=1e-3, rng=None):
     diag = shift * jnp.ones(shape)
     uppers, lowers = [], []
     for a, t in enumerate(tf):
-        pad_hi = [(0, 0)] * len(shape)
-        pad_hi[a] = (0, 1)
-        pad_lo = [(0, 0)] * len(shape)
-        pad_lo[a] = (1, 0)
-        uppers.append(-jnp.pad(t, pad_hi))
-        lowers.append(-jnp.pad(t, pad_lo))
-        diag = diag + jnp.pad(t, pad_hi) + jnp.pad(t, pad_lo)
+        # full-shape face layout: face (i, i+1) at index i, zero at boundary
+        t_prev = shift_plus(t, a, lead=0)
+        uppers.append(-t)
+        lowers.append(-t_prev)
+        diag = diag + t + t_prev
     return ScalarStencil(diag=diag, upper=tuple(uppers), lower=tuple(lowers))
 
 

@@ -38,23 +38,28 @@ def test_grid_basic_3d():
 
 
 def test_harmonic_transmissibility_hand_calc():
-    # two cells along x: T = A * 2 k1 k2 / ((k1+k2) dx)
+    # two cells along x: T = A * 2 k1 k2 / ((k1+k2) dx); full-shape layout
+    # stores the face (i, i+1) value at index i and zero at the boundary.
     g = Grid(shape=(2, 1), spacing=(10.0, 20.0), thickness=4.0)
     k = jnp.array([[1.0e-13], [3.0e-13]])
     (tx, ty) = harmonic_face_transmissibility(g, [k, k])
     area_x = 20.0 * 4.0
     expected = area_x * 2 * 1e-13 * 3e-13 / ((1e-13 + 3e-13) * 10.0)
-    assert tx.shape == (1, 1)
+    assert tx.shape == (2, 1)
     assert float(tx[0, 0]) == pytest.approx(expected, rel=1e-14)
-    assert ty.shape == (2, 0)
+    assert float(tx[1, 0]) == 0.0  # no-flow boundary face
+    assert ty.shape == (2, 1)
+    np.testing.assert_allclose(np.asarray(ty), 0.0)  # single cell along y
 
 
 def test_homogeneous_transmissibility():
     g = Grid(shape=(3, 3), spacing=(1.0, 1.0))
     k = jnp.full((3, 3), 2.0)
     tx, ty = harmonic_face_transmissibility(g, [k, k])
-    np.testing.assert_allclose(np.asarray(tx), 2.0)
-    np.testing.assert_allclose(np.asarray(ty), 2.0)
+    np.testing.assert_allclose(np.asarray(tx[:2, :]), 2.0)
+    np.testing.assert_allclose(np.asarray(tx[2, :]), 0.0)
+    np.testing.assert_allclose(np.asarray(ty[:, :2]), 2.0)
+    np.testing.assert_allclose(np.asarray(ty[:, 2]), 0.0)
 
 
 def test_shift_and_divergence():
@@ -64,9 +69,10 @@ def test_shift_and_divergence():
     np.testing.assert_allclose(np.asarray(sm)[0], [2, 3, 4, 0])
     np.testing.assert_allclose(np.asarray(sp)[0], [0, 1, 2, 3])
 
-    # conservation: divergence of any face flux sums to zero over cells
+    # conservation: divergence of any interior face flux sums to zero
+    # (full-shape flux layout: last entry is the boundary face = 0)
     res = jnp.zeros((1, 4))
-    flux = jnp.array([[1.0, -2.0, 3.0]])
+    flux = jnp.array([[1.0, -2.0, 3.0, 0.0]])
     out = divergence_add(res, flux, 0, lead=1)
     np.testing.assert_allclose(np.asarray(out).sum(), 0.0, atol=1e-15)
     # F on face (0,1)=1: +1 to cell0, -1 to cell1

@@ -1,0 +1,85 @@
+"""Multi-chip-without-a-cluster tests (SURVEY.md §4 item 5).
+
+Runs on the forced 8-device CPU mesh: residuals, stencil matvecs and full
+Newton steps computed under grid domain decomposition must match the
+single-device results to the last ulp-scale tolerance (the collectives XLA
+inserts are reductions over identical partial sums, so differences are at
+rounding level only).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thermalporous_tpu.dist import (
+    make_grid_mesh,
+    shard_problem_data,
+    shard_state,
+)
+from thermalporous_tpu.models import SinglePhaseModel, TwoPhaseModel, make_problem_data
+from thermalporous_tpu.core import Grid
+from thermalporous_tpu.physics import PhysicalParams, Well
+from thermalporous_tpu.solve import NewtonConfig, Simulator
+
+
+def _case(model_cls, n=16, seed=0):
+    pp = PhysicalParams()
+    g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
+    rng = np.random.default_rng(seed)
+    k = 1e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells)
+    model = model_cls(g, pp)
+    return model, data
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("model_cls", [SinglePhaseModel, TwoPhaseModel])
+def test_sharded_residual_matches(model_cls, rng):
+    model, data = _case(model_cls)
+    mesh = make_grid_mesh(8)
+    u_old = model.initial_state(data)
+    u = u_old + 1e5 * jnp.asarray(rng.standard_normal(u_old.shape))
+
+    ref = jax.jit(lambda u: model.residual(u, u_old, 500.0, data))(u)
+
+    u_s = shard_state(u, mesh)
+    uo_s = shard_state(u_old, mesh)
+    data_s = shard_problem_data(data, mesh)
+    out = jax.jit(lambda u, uo, d: model.residual(u, uo, 500.0, d))(u_s, uo_s, data_s)
+
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-12 * scale, rtol=1e-12
+    )
+
+
+def test_sharded_newton_step_matches():
+    model, data = _case(SinglePhaseModel)
+    sim = Simulator(model, data, precond="cptr",
+                    newton_cfg=NewtonConfig(rtol=1e-9, ksp_rtol=1e-7))
+    u0 = model.initial_state(data)
+
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+
+    mesh = make_grid_mesh(8)
+    u_s = shard_state(u0, mesh)
+    data_s = shard_problem_data(data, mesh)
+    sim_s = Simulator(model, data_s, precond="cptr",
+                      newton_cfg=NewtonConfig(rtol=1e-9, ksp_rtol=1e-7))
+    u_out, stats = sim_s.step(u_s, 3600.0)
+
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    # identical algorithm, reductions re-associated only → rounding-level diff
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]), atol=5.0)
+    np.testing.assert_allclose(np.asarray(u_out[1]), np.asarray(u_ref[1]), atol=1e-6)
+    # result is actually distributed
+    assert len(u_out.sharding.device_set) == 8

@@ -1,9 +1,8 @@
 from thermalporous_tpu.core.grid import (
     Grid,
     divergence_add,
-    face_left,
-    face_right,
     harmonic_face_transmissibility,
+    neighbor_plus,
     shift_minus,
     shift_plus,
 )
@@ -21,9 +20,8 @@ __all__ = [
     "apply_blocks",
     "invert_blocks",
     "divergence_add",
-    "face_left",
-    "face_right",
     "harmonic_face_transmissibility",
+    "neighbor_plus",
     "shift_minus",
     "shift_plus",
 ]

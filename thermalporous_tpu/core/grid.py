@@ -123,9 +123,12 @@ def harmonic_face_transmissibility(
         axis (anisotropy supported; pass the same array for isotropy).
 
     Returns:
-      One array per axis with shape reduced by 1 along that axis, holding
-      T_f for each interior face.  Boundary faces carry no entry: the
-      default (and only) boundary condition is no-flow, as in the reference.
+      One FULL-shape array per axis: entry i holds T_f of the face between
+      cells i and i+1 along that axis, and the last slice is zero — the
+      no-flow boundary (the reference's only boundary condition).  Keeping
+      face arrays cell-shaped makes every field in the problem uniformly
+      shardable over the grid axes (domain decomposition needs no special
+      cases for (n−1)-sized arrays).
     """
     out = []
     for axis in range(grid.dim):
@@ -136,7 +139,9 @@ def harmonic_face_transmissibility(
         area = grid.face_area(axis)
         delta = grid.spacing[axis]
         tf = area * 2.0 * kl * kr / ((kl + kr) * delta)
-        out.append(tf)
+        pad = [(0, 0)] * k.ndim
+        pad[axis] = (0, 1)
+        out.append(jnp.pad(tf, pad))
     return tuple(out)
 
 
@@ -166,30 +171,29 @@ def shift_plus(v: jax.Array, spatial_axis: int, lead: int = 1) -> jax.Array:
     return jnp.concatenate([pad, body], axis=axis)
 
 
-def face_left(u: jax.Array, spatial_axis: int, lead: int = 1) -> jax.Array:
-    """Left (lower-index) cell value for each interior face along an axis."""
-    axis = lead + spatial_axis
-    return jax.lax.slice_in_dim(u, 0, u.shape[axis] - 1, axis=axis)
+def neighbor_plus(u: jax.Array, spatial_axis: int, lead: int = 1) -> jax.Array:
+    """Value of the +axis neighbour at each cell, EDGE-padded at the last slice.
 
-
-def face_right(u: jax.Array, spatial_axis: int, lead: int = 1) -> jax.Array:
-    """Right (higher-index) cell value for each interior face along an axis."""
+    Used for face evaluations in full-shape layout: the phantom neighbour of
+    the last cell is the cell itself, which keeps all property correlations
+    finite (the corresponding face transmissibility is zero, so the phantom
+    flux and its derivatives vanish exactly).
+    """
     axis = lead + spatial_axis
-    return jax.lax.slice_in_dim(u, 1, u.shape[axis], axis=axis)
+    n = u.shape[axis]
+    body = jax.lax.slice_in_dim(u, 1, n, axis=axis)
+    edge = jax.lax.slice_in_dim(u, n - 1, n, axis=axis)
+    return jnp.concatenate([body, edge], axis=axis)
 
 
 def divergence_add(
     res: jax.Array, flux: jax.Array, spatial_axis: int, lead: int = 1
 ) -> jax.Array:
-    """Scatter interior-face fluxes into the cell residual.
+    """Scatter full-shape face fluxes into the cell residual.
 
-    A flux F on the face between cells L (lower index) and R, positive in
-    the +axis direction, contributes +F to R_L (outflow) and −F to R_R.
+    ``flux[i]`` is the flux through the face between cells i and i+1
+    (positive in the +axis direction; the last entry is zero by
+    construction).  It contributes +flux[i] to cell i and −flux[i] to
+    cell i+1.
     """
-    axis = lead + spatial_axis
-    pad = [(0, 0)] * res.ndim
-    pad_hi = list(pad)
-    pad_hi[axis] = (0, 1)
-    pad_lo = list(pad)
-    pad_lo[axis] = (1, 0)
-    return res + jnp.pad(flux, pad_hi) - jnp.pad(flux, pad_lo)
+    return res + flux - shift_plus(flux, spatial_axis, lead=lead)

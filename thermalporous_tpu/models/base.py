@@ -38,9 +38,9 @@ import numpy as np
 from thermalporous_tpu.core.grid import (
     Grid,
     divergence_add,
-    face_left,
-    face_right,
     harmonic_face_transmissibility,
+    neighbor_plus,
+    shift_plus,
 )
 from thermalporous_tpu.core.stencil import BlockStencil
 from thermalporous_tpu.physics.props import PhysicalParams
@@ -59,8 +59,11 @@ class ProblemData:
     """All array-valued problem data (a pytree; jit argument).
 
     Fields:
-      tgeo: per-axis geometric face transmissibilities A·k̄/Δ [m³].
-      tcond: per-axis conductive face transmissibilities A·κ̄/Δ [W/K].
+      tgeo: per-axis geometric face transmissibilities A·k̄/Δ [m³], stored
+        FULL-shape (face i→i+1 at index i, zero at the last slice), so every
+        array in the problem shards uniformly over the grid axes.
+      tcond: per-axis conductive face transmissibilities A·κ̄/Δ [W/K], same
+        layout.
       phi: porosity field.
       wells: dense well/heater source fields.
     """
@@ -141,8 +144,8 @@ class ThermalModelBase:
         for axis in range(self.grid.dim):
             f = self.face_terms(
                 axis,
-                face_left(u, axis),
-                face_right(u, axis),
+                u,
+                neighbor_plus(u, axis),
                 data.tgeo[axis],
                 data.tcond[axis],
             )
@@ -181,32 +184,30 @@ class ThermalModelBase:
 
         uppers, lowers = [], []
         for axis in range(grid.dim):
-            ul = face_left(u, axis)
-            ur = face_right(u, axis)
-            fshape = ul.shape[1:]
-            nf = math.prod(fshape)
-            ul_f = ul.reshape(nc, nf).T
-            ur_f = ur.reshape(nc, nf).T
-            tg_f = data.tgeo[axis].reshape(nf)
-            tc_f = data.tcond[axis].reshape(nf)
+            # full-shape face layout: face i→i+1 evaluated at every cell i,
+            # with an edge-padded phantom neighbour and zero transmissibility
+            # on the last slice (flux and all derivatives vanish there).
+            ur = neighbor_plus(u, axis)
+            ul_f = flat(u).T
+            ur_f = flat(ur).T
+            tg_f = data.tgeo[axis].reshape(ncells)
+            tc_f = data.tcond[axis].reshape(ncells)
 
             dfl, dfr = jax.vmap(
                 jax.jacfwd(
                     lambda a, b, tg, tc: self.face_terms(axis, a, b, tg, tc),
                     argnums=(0, 1),
                 )
-            )(ul_f, ur_f, tg_f, tc_f)          # each (nf, nc, nc)
-            dfl = jnp.moveaxis(dfl, 0, -1).reshape((nc, nc) + fshape)
-            dfr = jnp.moveaxis(dfr, 0, -1).reshape((nc, nc) + fshape)
+            )(ul_f, ur_f, tg_f, tc_f)          # each (N, nc, nc)
+            dfl = jnp.moveaxis(dfl, 0, -1).reshape((nc, nc) + shape)
+            dfr = jnp.moveaxis(dfr, 0, -1).reshape((nc, nc) + shape)
 
-            pad_hi = [(0, 0), (0, 0)] + [(0, 0)] * grid.dim
-            pad_hi[2 + axis] = (0, 1)
-            pad_lo = [(0, 0), (0, 0)] + [(0, 0)] * grid.dim
-            pad_lo[2 + axis] = (1, 0)
-
-            # face f between L=R−1: F adds +F to R_L, −F to R_R.
-            uppers.append(jnp.pad(dfr, pad_hi))          # ∂R_L/∂u_R at cell L
-            lowers.append(jnp.pad(-dfl, pad_lo))         # ∂R_R/∂u_L at cell R
-            diag = diag + jnp.pad(dfl, pad_hi) - jnp.pad(dfr, pad_lo)
+            # face i adds +F to cell i and −F to cell i+1:
+            #   ∂R_i/∂u_{i+1} = +dfr[i]              (upper coupling)
+            #   ∂R_{i+1}/∂u_i = −dfl[i]              (lower coupling at i+1)
+            #   ∂R_i/∂u_i    += dfl[i] − dfr[i−1]
+            uppers.append(dfr)
+            lowers.append(-shift_plus(dfl, axis, lead=2))
+            diag = diag + dfl - shift_plus(dfr, axis, lead=2)
 
         return BlockStencil(diag=diag, upper=tuple(uppers), lower=tuple(lowers))

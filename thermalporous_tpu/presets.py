@@ -1,0 +1,184 @@
+"""Named case presets mirroring the reference's driver scripts.
+
+The reference configures experiments with per-case Python driver scripts at
+the repo root (SURVEY.md §2.10); here each of the five BASELINE.json
+measurement configs is a named preset returning a ready-to-run bundle.
+Use ``examples/run_case.py --case <name>`` or :func:`get_case` directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from thermalporous_tpu.core.grid import Grid
+from thermalporous_tpu.data.spe10 import SPE10_SPACING_M, synthetic_spe10
+from thermalporous_tpu.models import (
+    ProblemData,
+    SinglePhaseModel,
+    ThermalModelBase,
+    TwoPhaseModel,
+    make_problem_data,
+)
+from thermalporous_tpu.physics import Heater, PhysicalParams, Well
+from thermalporous_tpu.solve import NewtonConfig, TimeConfig
+
+
+@dataclasses.dataclass
+class Case:
+    name: str
+    description: str
+    model: ThermalModelBase
+    data: ProblemData
+    time_cfg: TimeConfig
+    newton_cfg: NewtonConfig
+    t_end: float
+    precond: str = "cptr"
+
+
+def sp_hot_injection_2d(n: int = 40) -> Case:
+    """BASELINE config #1: 2D homogeneous single-phase hot-water injection."""
+    pp = PhysicalParams()
+    g = Grid(shape=(n, n), spacing=(400.0 / n, 400.0 / n), thickness=10.0)
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0, name="INJ"),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7, name="PROD"),
+    ]
+    data = make_problem_data(g, pp, kx=1e-13, phi=0.2, wells=wells)
+    return Case(
+        name="sp_hot_injection_2d",
+        description="2D homogeneous single-phase hot-water injection (40x40)",
+        model=SinglePhaseModel(g, pp),
+        data=data,
+        time_cfg=TimeConfig(dt_init=3600.0, dt_max=30 * 86400.0),
+        newton_cfg=NewtonConfig(),
+        t_end=180 * 86400.0,
+    )
+
+
+def sp_spe10_layer_2d(layer: int = 0, seed: int = 2020) -> Case:
+    """BASELINE config #2: SPE10 top-layer permeability + two Peaceman wells."""
+    pp = PhysicalParams()
+    fields = synthetic_spe10(seed=seed).layer(layer)
+    nx, ny = fields.kx.shape
+    dx, dy, dz = SPE10_SPACING_M
+    g = Grid(shape=(nx, ny), spacing=(dx, dy), thickness=dz)
+    wells = [
+        Well(cells=((nx // 2, ny // 2),), control="bhp", p_bh=3.5e7, T_inj=420.0,
+             name="INJ"),
+        Well(cells=((2, 2),), control="bhp", p_bh=1.0e7, name="PROD"),
+    ]
+    data = make_problem_data(
+        g, pp, kx=fields.kx, ky=fields.ky, phi=fields.phi, wells=wells
+    )
+    return Case(
+        name="sp_spe10_layer_2d",
+        description="2D single-phase, SPE10-style heterogeneous layer (60x220)",
+        model=SinglePhaseModel(g, pp),
+        data=data,
+        time_cfg=TimeConfig(dt_init=600.0, dt_max=10 * 86400.0),
+        newton_cfg=NewtonConfig(ksp_maxiter=100),
+        t_end=60 * 86400.0,
+    )
+
+
+def sp_geothermal_3d(nx: int = 64, ny: int = 64, nz: int = 32) -> Case:
+    """BASELINE config #3: 3D single-phase geothermal box with gravity + heaters."""
+    pp = dataclasses.replace(PhysicalParams(), T_init=350.0, p_init=3.0e7)
+    g = Grid(
+        shape=(nx, ny, nz),
+        spacing=(640.0 / nx, 640.0 / ny, 160.0 / nz),
+        gravity=9.81,
+        depth_top=1500.0,
+    )
+    rng = np.random.default_rng(7)
+    k = 5e-14 * np.exp(0.7 * rng.standard_normal(g.shape))
+    heaters = [
+        Heater(cells=tuple((nx // 2 + i, ny // 2, nz - 2) for i in range(-2, 3)),
+               power=5.0e5, name="HEAT"),
+    ]
+    wells = [
+        Well(cells=tuple((nx // 4, ny // 4, iz) for iz in range(nz // 2, nz)),
+             control="bhp", p_bh=4.0e7, T_inj=430.0, name="INJ"),
+        Well(cells=tuple((3 * nx // 4, 3 * ny // 4, iz) for iz in range(0, nz // 2)),
+             control="bhp", p_bh=2.0e7, name="PROD"),
+    ]
+    data = make_problem_data(g, pp, kx=k, kz=0.3 * k, phi=0.15, wells=wells,
+                             heaters=heaters)
+    return Case(
+        name="sp_geothermal_3d",
+        description="3D single-phase geothermal box (64x64x32), gravity + heaters",
+        model=SinglePhaseModel(g, pp),
+        data=data,
+        time_cfg=TimeConfig(dt_init=3600.0, dt_max=30 * 86400.0),
+        newton_cfg=NewtonConfig(ksp_maxiter=80),
+        t_end=365 * 86400.0,
+    )
+
+
+def tp_thermal_2d(n: int = 60) -> Case:
+    """BASELINE config #4: 2D two-phase dead-oil thermal displacement, full CPTR."""
+    pp = PhysicalParams()
+    g = Grid(shape=(n, n), spacing=(300.0 / n, 300.0 / n), thickness=10.0)
+    rng = np.random.default_rng(11)
+    k = 2e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=4.0e7, T_inj=420.0, name="INJ"),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7, name="PROD"),
+    ]
+    data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells)
+    return Case(
+        name="tp_thermal_2d",
+        description="2D two-phase dead-oil thermal displacement (60x60)",
+        model=TwoPhaseModel(g, pp, s_init=0.2),
+        data=data,
+        time_cfg=TimeConfig(dt_init=600.0, dt_max=5 * 86400.0),
+        newton_cfg=NewtonConfig(ksp_maxiter=80),
+        t_end=90 * 86400.0,
+    )
+
+
+def tp_spe10_3d(nx: int = 60, ny: int = 110, nz: int = 16, seed: int = 2020) -> Case:
+    """BASELINE config #5: 3D two-phase SPE10-subset thermal flood (multi-chip)."""
+    pp = PhysicalParams()
+    fields = synthetic_spe10(shape=(nx, ny, nz), seed=seed, tarbert_frac=0.5)
+    dx, dy, dz = SPE10_SPACING_M
+    g = Grid(shape=(nx, ny, nz), spacing=(dx, dy, dz), gravity=9.81,
+             depth_top=3600.0 * 0.3048)
+    wells = [
+        Well(cells=tuple((nx // 2, ny // 2, iz) for iz in range(nz)),
+             control="bhp", p_bh=4.0e7, T_inj=420.0, name="INJ"),
+        Well(cells=tuple((2, 2, iz) for iz in range(nz)),
+             control="bhp", p_bh=1.0e7, name="P1"),
+        Well(cells=tuple((nx - 3, ny - 3, iz) for iz in range(nz)),
+             control="bhp", p_bh=1.0e7, name="P2"),
+    ]
+    data = make_problem_data(
+        g, pp, kx=fields.kx, ky=fields.ky, kz=fields.kz, phi=fields.phi,
+        wells=wells,
+    )
+    return Case(
+        name="tp_spe10_3d",
+        description=f"3D two-phase SPE10-subset thermal flood ({nx}x{ny}x{nz})",
+        model=TwoPhaseModel(g, pp, s_init=0.15),
+        data=data,
+        time_cfg=TimeConfig(dt_init=300.0, dt_max=2 * 86400.0),
+        newton_cfg=NewtonConfig(ksp_maxiter=100, max_iters=20),
+        t_end=30 * 86400.0,
+    )
+
+
+PRESETS = {
+    "sp_hot_injection_2d": sp_hot_injection_2d,
+    "sp_spe10_layer_2d": sp_spe10_layer_2d,
+    "sp_geothermal_3d": sp_geothermal_3d,
+    "tp_thermal_2d": tp_thermal_2d,
+    "tp_spe10_3d": tp_spe10_3d,
+}
+
+
+def get_case(name: str, **kwargs) -> Case:
+    if name not in PRESETS:
+        raise KeyError(f"unknown case {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name](**kwargs)
