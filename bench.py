@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import json
 import time
+import warnings
+
+warnings.filterwarnings("ignore", message=".*truncated to dtype float32.*")
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +72,7 @@ def main():
     for _ in range(nsteps):
         u, iters, converged = step(u, dt, data)
         jax.block_until_ready(u)
+        assert bool(converged), "benchmark step did not converge — number would be meaningless"
         total_newton += int(iters)
     wall = time.perf_counter() - t0
 

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Run a named simulation case — the reference's driver-script ergonomics as a CLI.
+
+Examples:
+  python examples/run_case.py --case sp_hot_injection_2d --t-end-days 30
+  python examples/run_case.py --case tp_thermal_2d --precond cpr --vtk out/
+  python examples/run_case.py --case sp_spe10_layer_2d --platform cpu --metrics run.jsonl
+  python examples/run_case.py --case tp_thermal_2d --resume out/ckpt_0000010.npz
+
+Prints per-step telemetry and an end-of-run summary (total Newton/FGMRES
+iterations and cell-updates/s), the quantities the companion papers report.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--case", default="sp_hot_injection_2d")
+    p.add_argument("--list", action="store_true", help="list available cases")
+    p.add_argument("--t-end-days", type=float, default=None)
+    p.add_argument("--max-steps", type=int, default=100000)
+    p.add_argument("--precond", default=None, choices=[None, "none", "jacobi", "cpr", "cptr"])
+    p.add_argument("--dt0", type=float, default=None, help="initial dt [s]")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="override jax platform (default: environment)")
+    p.add_argument("--x64", action="store_true", default=True)
+    p.add_argument("--f32", dest="x64", action="store_false")
+    p.add_argument("--vtk", default=None, metavar="DIR", help="write .pvd/.vti series")
+    p.add_argument("--vtk-every", type=int, default=5)
+    p.add_argument("--metrics", default=None, metavar="FILE", help="JSONL telemetry")
+    p.add_argument("--ckpt-dir", default=None, metavar="DIR")
+    p.add_argument("--ckpt-every", type=int, default=10)
+    p.add_argument("--resume", default=None, metavar="NPZ")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif args.platform == "tpu":
+        jax.config.update("jax_platforms", "axon")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from thermalporous_tpu.io import CheckpointManager, MetricsLogger, PVDWriter, load_checkpoint, state_fields
+    from thermalporous_tpu.presets import CASE_DESCRIPTIONS, get_case
+    from thermalporous_tpu.solve import Simulator
+
+    if args.list:
+        for name, desc in sorted(CASE_DESCRIPTIONS.items()):
+            print(f"{name:24s} {desc}")
+        return
+
+    case = get_case(args.case)
+    print(f"# {case.name}: {case.description}")
+    print(f"# grid {case.model.grid.shape} = {case.model.grid.ncells} cells, "
+          f"{case.model.nc} unknowns/cell, precond={args.precond or case.precond}")
+
+    sim = Simulator(
+        case.model,
+        case.data,
+        precond=args.precond or case.precond,
+        newton_cfg=case.newton_cfg,
+        time_cfg=case.time_cfg,
+    )
+
+    callbacks = []
+    if args.vtk:
+        writer = PVDWriter(args.vtk, case.name, case.model.grid)
+        u0 = case.model.initial_state(case.data)
+        writer.write(0.0, state_fields(case.model, u0))
+        callbacks.append(
+            lambda step, t, u, rec: (
+                writer.write(t, state_fields(case.model, u))
+                if step % args.vtk_every == 0
+                else None
+            )
+        )
+    if args.metrics:
+        callbacks.append(MetricsLogger(args.metrics, ncells=case.model.grid.ncells,
+                                       extra={"case": case.name}))
+    if args.ckpt_dir:
+        callbacks.append(CheckpointManager(args.ckpt_dir, every=args.ckpt_every,
+                                           name="ckpt"))
+
+    u0, dt0, t0, step0 = None, args.dt0, 0.0, 0
+    if args.resume:
+        u0, t0, dt_saved, step0, _ = load_checkpoint(args.resume)
+        dt0 = dt0 or dt_saved
+        print(f"# resuming from {args.resume}: t={t0:.4e}s step={step0}")
+
+    def callback(step, t, u, rec):
+        for cb in callbacks:
+            cb(step, t, u, rec)
+
+    t_end = (args.t_end_days * 86400.0) if args.t_end_days else case.t_end
+    result = sim.run(
+        t_end=t_end,
+        u0=u0,
+        dt0=dt0,
+        t0=t0,
+        step0=step0,
+        max_steps=args.max_steps,
+        callback=callback if callbacks else None,
+        verbose=not args.quiet,
+    )
+
+    n = max(result.total_newton, 1)
+    print(f"# done: t={result.t:.4e}s in {result.steps} steps, wall {result.wall_s:.1f}s")
+    print(f"# newton total {result.total_newton} ({result.total_newton/max(result.steps,1):.1f}/step), "
+          f"fgmres total {result.total_ksp} ({result.total_ksp/n:.1f}/newton)")
+    print(f"# throughput {case.model.grid.ncells * result.total_newton / result.wall_s:.3e} cell-updates/s")
+
+
+if __name__ == "__main__":
+    main()

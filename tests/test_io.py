@@ -1,0 +1,141 @@
+"""IO subsystem tests: VTI/PVD output, checkpoint resume, JSONL metrics, CLI."""
+
+import json
+import os
+import struct
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from thermalporous_tpu.core import Grid
+from thermalporous_tpu.io import (
+    CheckpointManager,
+    MetricsLogger,
+    PVDWriter,
+    load_checkpoint,
+    save_checkpoint,
+    write_vti,
+)
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _read_vti_payload(path, n_arrays):
+    """Parse the raw-appended section back into float64 arrays."""
+    blob = open(path, "rb").read()
+    start = blob.index(b'<AppendedData encoding="raw">')
+    cursor = blob.index(b"_", start) + 1
+    arrays = []
+    for _ in range(n_arrays):
+        (nbytes,) = struct.unpack_from("<Q", blob, cursor)
+        cursor += 8
+        arrays.append(np.frombuffer(blob[cursor : cursor + nbytes], dtype=np.float64))
+        cursor += nbytes
+    return arrays
+
+
+def test_vti_roundtrip(tmp_path, rng):
+    g = Grid(shape=(4, 3), spacing=(1.0, 2.0), thickness=0.5)
+    p = rng.standard_normal(g.shape)
+    t = rng.standard_normal(g.shape)
+    path = str(tmp_path / "out.vti")
+    write_vti(path, g, {"pressure": p, "temperature": t})
+
+    header = open(path, "rb").read(600).decode(errors="ignore")
+    assert 'WholeExtent="0 4 0 3 0 1"' in header
+    assert 'Name="pressure"' in header and 'Name="temperature"' in header
+
+    pay_p, pay_t = _read_vti_payload(path, 2)
+    # VTK order: x fastest
+    np.testing.assert_array_equal(pay_p, p.T.ravel())
+    np.testing.assert_array_equal(pay_t, t.T.ravel())
+
+
+def test_vti_3d_and_pvd(tmp_path, rng):
+    g = Grid(shape=(3, 4, 5), spacing=(1.0, 1.0, 2.0))
+    w = PVDWriter(str(tmp_path), "case", g)
+    for i in range(3):
+        w.write(float(i) * 10.0, {"pressure": rng.standard_normal(g.shape)})
+    pvd = (tmp_path / "case.pvd").read_text()
+    assert pvd.count("<DataSet") == 3
+    assert 'timestep="20.0"' in pvd
+    assert (tmp_path / "case_00002.vti").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    u = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5, 5)))
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, u, t=123.5, dt=7.25, step=42, meta={"case": "x"})
+    u2, t, dt, step, meta = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u))  # bit-exact
+    assert (t, dt, step, meta) == (123.5, 7.25, 42, {"case": "x"})
+
+
+def test_checkpoint_manager_retention(tmp_path):
+    import dataclasses
+
+    from thermalporous_tpu.solve import StepRecord
+
+    mgr = CheckpointManager(str(tmp_path), every=2, keep=2)
+    u = jnp.zeros((2, 3, 3))
+    for step in range(1, 9):
+        rec = StepRecord(step=step, t=step * 1.0, dt=1.0, newton_iters=1,
+                         ksp_iters=1, retries=0, residual_norm0=1.0,
+                         residual_norm=0.0, wall_s=0.1)
+        mgr(step, step * 1.0, u, rec)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["ckpt_0000006.npz", "ckpt_0000008.npz"]
+
+
+def test_metrics_logger(tmp_path):
+    from thermalporous_tpu.solve import StepRecord
+
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path, ncells=100, extra={"case": "t"}) as log:
+        rec = StepRecord(step=1, t=10.0, dt=10.0, newton_iters=4, ksp_iters=20,
+                         retries=0, residual_norm0=1.0, residual_norm=1e-8,
+                         wall_s=0.5)
+        log(1, 10.0, None, rec)
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["newton_iters"] == 4
+    assert lines[0]["case"] == "t"
+    assert lines[0]["cell_updates_per_s"] == 100 * 4 / 0.5
+
+
+def test_cli_list():
+    out = subprocess.run(
+        [sys.executable, "examples/run_case.py", "--list"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "sp_hot_injection_2d" in out.stdout
+    assert "tp_spe10_3d" in out.stdout
+
+
+def test_cli_end_to_end(tmp_path):
+    """The CLI is the user surface: run a short case with all outputs on."""
+    out = subprocess.run(
+        [
+            sys.executable, "examples/run_case.py",
+            "--case", "sp_hot_injection_2d",
+            "--t-end-days", "0.2",
+            "--platform", "cpu",
+            "--quiet",
+            "--vtk", str(tmp_path / "vtk"),
+            "--vtk-every", "2",
+            "--metrics", str(tmp_path / "m.jsonl"),
+            "--ckpt-dir", str(tmp_path / "ck"),
+            "--ckpt-every", "3",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "# done:" in out.stdout
+    assert "fgmres total" in out.stdout
+    assert (tmp_path / "vtk" / "sp_hot_injection_2d.pvd").exists()
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert recs and all(r["residual_norm"] < r["residual_norm0"] for r in recs)
+    cks = os.listdir(tmp_path / "ck")
+    assert cks, "no checkpoints written"

@@ -1,0 +1,66 @@
+"""Checkpoint / exact resume.
+
+The reference has no restart workflow (visualization-only output —
+SURVEY.md §5.4); the rebuild adds one because the state is a single array
+bundle: ``{step, t, dt, u}`` round-trips exactly through one .npz file, so
+a killed run resumes bit-identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(path: str, u, t: float, dt: float, step: int, meta: dict | None = None):
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            u=np.asarray(u),
+            t=np.float64(t),
+            dt=np.float64(dt),
+            step=np.int64(step),
+            meta=json.dumps(meta or {}),
+        )
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+    return path
+
+
+def load_checkpoint(path: str):
+    with np.load(path, allow_pickle=False) as z:
+        u = jnp.asarray(z["u"])
+        t = float(z["t"])
+        dt = float(z["dt"])
+        step = int(z["step"])
+        meta = json.loads(str(z["meta"]))
+    return u, t, dt, step, meta
+
+
+class CheckpointManager:
+    """Periodic snapshots with retention, as a Simulator callback."""
+
+    def __init__(self, directory: str, every: int = 10, keep: int = 3, name: str = "ckpt"):
+        self.directory = directory
+        self.every = every
+        self.keep = keep
+        self.name = name
+        self._written: list[str] = []
+        os.makedirs(directory, exist_ok=True)
+
+    def __call__(self, step: int, t: float, u, record):
+        if step % self.every:
+            return
+        path = os.path.join(self.directory, f"{self.name}_{step:07d}.npz")
+        save_checkpoint(path, u, t, record.dt, step)
+        self._written.append(path)
+        while len(self._written) > self.keep:
+            old = self._written.pop(0)
+            if os.path.exists(old):
+                os.remove(old)
+
+    def latest(self) -> str | None:
+        return self._written[-1] if self._written else None

@@ -177,6 +177,15 @@ PRESETS = {
     "tp_spe10_3d": tp_spe10_3d,
 }
 
+# static descriptions (listing cases must not construct their fields)
+CASE_DESCRIPTIONS = {
+    "sp_hot_injection_2d": "2D homogeneous single-phase hot-water injection (40x40)",
+    "sp_spe10_layer_2d": "2D single-phase, SPE10-style heterogeneous layer (60x220)",
+    "sp_geothermal_3d": "3D single-phase geothermal box (64x64x32), gravity + heaters",
+    "tp_thermal_2d": "2D two-phase dead-oil thermal displacement (60x60)",
+    "tp_spe10_3d": "3D two-phase SPE10-subset thermal flood (60x110x16)",
+}
+
 
 def get_case(name: str, **kwargs) -> Case:
     if name not in PRESETS:

@@ -107,17 +107,21 @@ class Simulator:
         t_end: float,
         u0: jax.Array | None = None,
         dt0: float | None = None,
+        t0: float = 0.0,
+        step0: int = 0,
         max_steps: int = 100000,
         callback: Callable[[int, float, jax.Array, StepRecord], None] | None = None,
         verbose: bool = False,
     ) -> SimResult:
+        """Advance from (t0, u0) to t_end.  ``t0``/``step0`` support exact
+        resume from a checkpoint (state AND clock)."""
         tc = self.time_cfg
         u = self.model.initial_state(self.data) if u0 is None else u0
-        t = 0.0
+        t = t0
         dt = tc.dt_init if dt0 is None else dt0
         records: list[StepRecord] = []
         run_start = time.perf_counter()
-        step_idx = 0
+        step_idx = step0
 
         while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
             dt = min(dt, tc.dt_max, t_end - t)
@@ -170,7 +174,7 @@ class Simulator:
         return SimResult(
             u=u,
             t=t,
-            steps=step_idx,
+            steps=len(records),  # steps taken THIS run (resume-aware)
             records=records,
             total_newton=sum(r.newton_iters for r in records),
             total_ksp=sum(r.ksp_iters for r in records),
