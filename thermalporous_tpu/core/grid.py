@@ -138,7 +138,9 @@ def harmonic_face_transmissibility(
         kr = jax.lax.slice_in_dim(k, 1, n, axis=axis)
         area = grid.face_area(axis)
         delta = grid.spacing[axis]
-        tf = area * 2.0 * kl * kr / ((kl + kr) * delta)
+        denom = (kl + kr) * delta
+        # impermeable-impermeable faces: harmonic mean is 0, not 0/0
+        tf = jnp.where(denom > 0.0, area * 2.0 * kl * kr / jnp.where(denom > 0.0, denom, 1.0), 0.0)
         pad = [(0, 0)] * k.ndim
         pad[axis] = (0, 1)
         out.append(jnp.pad(tf, pad))
