@@ -52,6 +52,18 @@ class SPE10Fields:
         )
 
 
+def _read_floats(path: str, nmax: int) -> np.ndarray:
+    """Parse whitespace floats via the native C++ parser when built
+    (thermalporous_tpu.io.native; ~20x faster on the 4.5M-token SPE10
+    files), else numpy."""
+    from thermalporous_tpu.io import native
+
+    vals = native.parse_floats(path, nmax)
+    if vals is None:
+        vals = np.fromfile(path, sep=" ")
+    return vals
+
+
 def load_spe10(perm_path: str, phi_path: str) -> SPE10Fields:
     """Parse the standard SPE10 text files (``spe_perm.dat``/``spe_phi.dat``).
 
@@ -61,7 +73,7 @@ def load_spe10(perm_path: str, phi_path: str) -> SPE10Fields:
     """
     nx, ny, nz = SPE10_SHAPE
     n = nx * ny * nz
-    vals = np.fromfile(perm_path, sep=" ")
+    vals = _read_floats(perm_path, 3 * n + 1)
     if vals.size != 3 * n:
         raise ValueError(f"expected {3*n} perm values, got {vals.size}")
 
@@ -72,7 +84,7 @@ def load_spe10(perm_path: str, phi_path: str) -> SPE10Fields:
     kx = unflatten(vals[:n]) * MD_TO_M2
     ky = unflatten(vals[n : 2 * n]) * MD_TO_M2
     kz = unflatten(vals[2 * n :]) * MD_TO_M2
-    phiv = np.fromfile(phi_path, sep=" ")
+    phiv = _read_floats(phi_path, n + 1)
     if phiv.size != n:
         raise ValueError(f"expected {n} phi values, got {phiv.size}")
     phi = unflatten(phiv)

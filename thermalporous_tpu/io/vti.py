@@ -84,13 +84,19 @@ def write_vti(
         "  </ImageData>",
         '  <AppendedData encoding="raw">',
     ]
-    with open(path, "wb") as f:
-        f.write("\n".join(xml).encode())
-        f.write(b"\n_")
+    header = ("\n".join(xml) + "\n_").encode()
+    footer = b"\n  </AppendedData>\n</VTKFile>\n"
+
+    from thermalporous_tpu.io import native
+
+    if native.write_vti_raw(path, header, arrays, footer):
+        return path
+    with open(path, "wb") as f:  # pure-Python fallback (identical bytes)
+        f.write(header)
         for raw in arrays:
             f.write(struct.pack("<Q", len(raw)))
             f.write(raw)
-        f.write(b"\n  </AppendedData>\n</VTKFile>\n")
+        f.write(footer)
     return path
 
 
