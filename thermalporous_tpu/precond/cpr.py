@@ -41,7 +41,38 @@ class CPRConfig:
     variant: str = "cptr"            # "cpr" | "cptr"
     stage2: str = "block_jacobi"     # "block_jacobi" | "none"
     triangular: bool = True          # CPTR stage-1: triangular vs block-diagonal
+    # decoupling operator W ([P1] §4, [P2] §3):
+    #   "abf"    — full diagonal-block inverse (alternate block factorization)
+    #   "qimpes" — Quasi-IMPES: eliminate only the saturation coupling of the
+    #              p/T rows using the cell's diagonal block
+    #   "timpes" — True-IMPES: same elimination with column sums over the
+    #              whole stencil row (the reference's other variant)
+    decoupling: str = "abf"
     gmg: GMGConfig = GMGConfig()
+
+
+def _impes_weights(d: jax.Array) -> jax.Array:
+    """W eliminating the last-unknown column from all other equations.
+
+    d: per-cell (nc, nc, *shape) blocks (the diagonal for Quasi-IMPES, the
+    stencil column sums for True-IMPES).  For nc=2 the "last unknown" is T
+    (single-phase CPR decoupling); for nc=3 it is S_w.
+    """
+    nc = d.shape[0]
+    last = nc - 1
+    dtype = d.dtype
+    shape = d.shape[2:]
+    eye = jnp.eye(nc, dtype=dtype).reshape((nc, nc) + (1,) * len(shape))
+    w = jnp.broadcast_to(eye, d.shape)
+    denom = d[last, last]
+    safe = jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+    rows = []
+    for i in range(nc):
+        row = w[i]
+        if i != last:
+            row = row.at[last].set(-d[i, last] / safe)
+        rows.append(row)
+    return jnp.stack(rows)
 
 
 @jax.tree_util.register_dataclass
@@ -50,7 +81,8 @@ class CPRState:
     """Per-Newton-iteration preconditioner state (a pytree)."""
 
     stencil: BlockStencil            # original Jacobian stencil A
-    dinv: jax.Array                  # per-cell inverse diagonal blocks (W)
+    dinv: jax.Array                  # per-cell inverse diagonal blocks (stage 2)
+    w: jax.Array                     # per-cell decoupling blocks W (stage 1)
     gmg_p: GMGState                  # hierarchy on decoupled pressure block
     gmg_t: GMGState | None           # hierarchy on decoupled temperature block
     a_tp: ScalarStencil | None       # decoupled T-equation ← p-unknown coupling
@@ -58,7 +90,18 @@ class CPRState:
 
 def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
     dinv = stencil.diag_inverse()
-    dec = stencil.scale_rows(dinv)      # W·A with unit diagonal blocks
+    if cfg.decoupling == "abf":
+        w = dinv
+    elif cfg.decoupling == "qimpes":
+        w = _impes_weights(stencil.diag)
+    elif cfg.decoupling == "timpes":
+        colsum = stencil.diag
+        for up, lo in zip(stencil.upper, stencil.lower):
+            colsum = colsum + up + lo
+        w = _impes_weights(colsum)
+    else:
+        raise ValueError(f"unknown decoupling {cfg.decoupling!r}")
+    dec = stencil.scale_rows(w)         # W·A
     app = dec.scalar(0, 0)
     gmg_p = gmg_setup(app, cfg.gmg)
     if cfg.variant == "cptr":
@@ -68,12 +111,14 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
     else:
         gmg_t = None
         a_tp = None
-    return CPRState(stencil=stencil, dinv=dinv, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp)
+    return CPRState(
+        stencil=stencil, dinv=dinv, w=w, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp
+    )
 
 
 def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> jax.Array:
     """Apply M⁻¹ to a state-shaped residual r (nc, *grid)."""
-    w = apply_blocks(state.dinv, r)     # decoupled residual W·r
+    w = apply_blocks(state.w, r)        # decoupled residual W·r
 
     # stage 1 on the elliptic block(s)
     e_p = gmg_apply(state.gmg_p, w[0], cfg.gmg)

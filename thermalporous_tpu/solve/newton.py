@@ -36,6 +36,13 @@ class NewtonConfig:
     ksp_maxiter: int = 60
     max_backtracks: int = 6
     ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
+    # "every": rebuild the preconditioner each Newton iteration (the
+    # reference's behavior); "step": build once from the step's initial
+    # state and reuse — the common "frozen CPR" production trade: the Krylov
+    # operator stays the exact current Jacobian (matrix-free), only the
+    # preconditioner lags, costing a few extra FGMRES iterations but saving
+    # the per-iteration stencil assembly + multigrid setup.
+    pc_lag: str = "every"
 
 
 @jax.tree_util.register_dataclass
@@ -74,6 +81,8 @@ def newton_solve(
     nrm0 = norm(f0)
     tol = jnp.maximum(cfg.rtol * nrm0, cfg.atol)
 
+    frozen_pcs = pc_setup(assemble(u0)) if cfg.pc_lag == "step" else None
+
     def cond(carry):
         u, f, nrm, k, ksp, failed = carry
         go = jnp.logical_and(nrm > tol, k < cfg.max_iters)
@@ -82,7 +91,7 @@ def newton_solve(
     def body(carry):
         u, f, nrm, k, ksp, failed = carry
 
-        pcs = pc_setup(assemble(u))
+        pcs = frozen_pcs if cfg.pc_lag == "step" else pc_setup(assemble(u))
         result = fgmres(
             jvp_at(u),
             -f,
