@@ -31,8 +31,7 @@ PETSC_CPU_CLASS_BASELINE = 1.0e6  # cell-updates/s, documented proxy (see above)
 
 def main():
     from thermalporous_tpu.presets import tp_thermal_2d
-    from thermalporous_tpu.precond import make_preconditioner
-    from thermalporous_tpu.solve import NewtonConfig, newton_solve
+    from thermalporous_tpu.solve import NewtonConfig, make_step_fn
 
     n = 256
     dtype = jnp.float32
@@ -40,19 +39,12 @@ def main():
     model, data = case.model, case.data
     ncells = model.grid.ncells
 
-    cfg = NewtonConfig(rtol=1e-4, ksp_rtol=1e-3, ksp_maxiter=30, max_iters=12)
-    pc_setup, pc_apply = make_preconditioner("cptr")
+    cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-3, ksp_maxiter=30,
+                       max_iters=12)
+    step_fn = make_step_fn(model, "cptr", cfg)
 
     def advance(u_old, dt, data):
-        u, stats = newton_solve(
-            residual=lambda u: model.residual(u, u_old, dt, data),
-            jvp_at=lambda u: model.jvp(u, u_old, dt, data),
-            assemble=lambda u: model.assemble_stencil(u, u_old, dt, data),
-            pc_setup=pc_setup,
-            pc_apply=pc_apply,
-            u0=u_old,
-            cfg=cfg,
-        )
+        u, stats = step_fn(u_old, dt, data)
         return u, stats.iters, stats.converged
 
     data = jax.tree.map(

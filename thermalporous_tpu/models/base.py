@@ -134,6 +134,17 @@ class ThermalModelBase:
     def initial_state(self, data: ProblemData, dtype=jnp.float64) -> jax.Array:
         raise NotImplementedError
 
+    def residual_scales(self, u_old, dt, data: ProblemData) -> jax.Array:
+        """Characteristic per-cell accumulation magnitudes, shape (nc, *grid).
+
+        Used to nondimensionalize the Newton convergence test (the
+        material-balance-style criterion of production reservoir
+        simulators): |R_c| / scale_c is "fraction of a cell's content per
+        step", robust across units, Δt and float32 (where rtol-vs-first-
+        residual tests stall on the rounding floor of later, settled steps).
+        """
+        raise NotImplementedError
+
     # -- residual (hot path) -------------------------------------------------
     def residual(self, u: jax.Array, u_old: jax.Array, dt, data: ProblemData) -> jax.Array:
         """Backward-Euler residual, shape (nc, *grid.shape).

@@ -73,6 +73,16 @@ class SinglePhaseModel(ThermalModelBase):
         f_e = pp.cp_w * t_up * f_m + tcond * (t_l - t_r)
         return jnp.stack([f_m, f_e])
 
+    def residual_scales(self, u_old, dt, data: ProblemData):
+        pp = self.pp
+        vol = self.grid.cell_volume
+        p0, t0 = u_old[0], u_old[1]
+        rho = pp.rho_w(p0, t0)
+        mass = vol * data.phi * rho / dt
+        energy = vol * ((1.0 - data.phi) * pp.rho_c_rock
+                        + data.phi * rho * pp.cp_w) * t0 / dt
+        return jnp.stack([mass, energy])
+
     def initial_state(self, data: ProblemData, dtype=jnp.float64):
         pp = self.pp
         grid = self.grid

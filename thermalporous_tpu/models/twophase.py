@@ -123,6 +123,19 @@ class TwoPhaseModel(ThermalModelBase):
 
         return jnp.stack([f_w, f_e, f_o])
 
+    def residual_scales(self, u_old, dt, data: ProblemData):
+        pp = self.pp
+        vol = self.grid.cell_volume
+        p0, t0, s0 = u_old[0], u_old[1], u_old[2]
+        rho_w, rho_o = pp.rho_w(p0, t0), pp.rho_o(p0, t0)
+        mass_w = vol * data.phi * rho_w / dt
+        mass_o = vol * data.phi * rho_o / dt
+        cap = (1.0 - data.phi) * pp.rho_c_rock + data.phi * (
+            s0 * rho_w * pp.cp_w + (1.0 - s0) * rho_o * pp.cp_o
+        )
+        energy = vol * cap * t0 / dt
+        return jnp.stack([mass_w, energy, mass_o])
+
     def initial_state(self, data: ProblemData, dtype=jnp.float64):
         pp = self.pp
         grid = self.grid

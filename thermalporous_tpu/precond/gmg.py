@@ -52,6 +52,10 @@ class GMGConfig:
     # plain V-cycles (41 -> 14 per Newton measured on the channelized layer)
     # at lower wall time; "v" remains the cheap option for easy problems.
     cycle_type: str = "k"             # "v" | "w" | "k" (Krylov-accelerated)
+    # levels smaller than this fall back to a single recursive cycle: tiny
+    # grids are launch-latency-bound on TPU; 256 keeps most of the K-cycle's
+    # iteration benefit (13.7 -> 15.8 on the SPE10 layer vs 23.4 at 1024)
+    kcycle_min_cells: int = 256
 
 
 @jax.tree_util.register_dataclass
@@ -164,7 +168,11 @@ def _coarse_correction(state: GMGState, level: int, rc: jax.Array, cfg: GMGConfi
       weak contraction (the SPE10-contrast regime; SURVEY.md §7 hard part #1).
     """
     e1 = _v_cycle(state, level, rc, cfg)
-    if cfg.cycle_type == "v" or level == len(state.stencils) - 1:
+    if (
+        cfg.cycle_type == "v"
+        or level == len(state.stencils) - 1
+        or math.prod(state.stencils[level].grid_shape) < cfg.kcycle_min_cells
+    ):
         return e1
     a_mat = state.stencils[level].matvec
     if cfg.cycle_type == "w":

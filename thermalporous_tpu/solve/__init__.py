@@ -6,6 +6,7 @@ from thermalporous_tpu.solve.timeloop import (
     Simulator,
     StepRecord,
     TimeConfig,
+    make_step_fn,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "Simulator",
     "StepRecord",
     "TimeConfig",
+    "make_step_fn",
 ]

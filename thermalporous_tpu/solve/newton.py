@@ -64,6 +64,7 @@ def newton_solve(
     pc_apply: Callable[[object, jax.Array], jax.Array],
     u0: jax.Array,
     cfg: NewtonConfig = NewtonConfig(),
+    scale: jax.Array | None = None,
 ) -> tuple[jax.Array, NewtonStats]:
     """Solve residual(u) = 0 starting from ``u0``.
 
@@ -72,14 +73,27 @@ def newton_solve(
       jvp_at: u ↦ (v ↦ J(u)·v).
       assemble: u ↦ BlockStencil of J(u) (preconditioner input only).
       pc_setup/pc_apply: preconditioner factory and application.
+      scale: optional per-cell residual scales (``model.residual_scales``);
+        when given, convergence and line-search norms are the RMS of F/scale
+        (dimensionless "fraction of cell content per step"), and a
+        dtype-aware absolute floor is applied so float32 runs terminate at
+        their rounding floor instead of stalling.
     """
 
-    def norm(f):
-        return jnp.sqrt(jnp.vdot(f, f))
+    if scale is None:
+        def norm(f):
+            return jnp.sqrt(jnp.vdot(f, f))
+        atol = cfg.atol
+    else:
+        def norm(f):
+            q = f / scale
+            return jnp.sqrt(jnp.vdot(q, q) / q.size)
+        eps = float(jnp.finfo(u0.dtype).eps)
+        atol = max(cfg.atol, 50.0 * eps)
 
     f0 = residual(u0)
     nrm0 = norm(f0)
-    tol = jnp.maximum(cfg.rtol * nrm0, cfg.atol)
+    tol = jnp.maximum(cfg.rtol * nrm0, atol)
 
     frozen_pcs = pc_setup(assemble(u0)) if cfg.pc_lag == "step" else None
 

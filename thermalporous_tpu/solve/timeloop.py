@@ -26,6 +26,36 @@ from thermalporous_tpu.precond.cpr import CPRConfig, make_preconditioner
 from thermalporous_tpu.solve.newton import NewtonConfig, newton_solve
 
 
+def make_step_fn(
+    model: ThermalModelBase,
+    precond: str = "cptr",
+    newton_cfg: NewtonConfig = NewtonConfig(),
+    pc_cfg: CPRConfig | None = None,
+):
+    """Build the jittable full implicit step ``advance(u_old, dt, data)``.
+
+    The single step factory shared by the Simulator, the benchmark and the
+    driver entry points — one Newton solve (assembly, CPTR setup, FGMRES,
+    line search) as one XLA program, with material-balance-scaled
+    convergence norms.
+    """
+    pc_setup, pc_apply = make_preconditioner(precond, pc_cfg)
+
+    def advance(u_old, dt, data):
+        return newton_solve(
+            residual=lambda u: model.residual(u, u_old, dt, data),
+            jvp_at=lambda u: model.jvp(u, u_old, dt, data),
+            assemble=lambda u: model.assemble_stencil(u, u_old, dt, data),
+            pc_setup=pc_setup,
+            pc_apply=pc_apply,
+            u0=u_old,
+            cfg=newton_cfg,
+            scale=model.residual_scales(u_old, dt, data),
+        )
+
+    return advance
+
+
 @dataclasses.dataclass(frozen=True)
 class TimeConfig:
     dt_init: float = 3600.0
@@ -83,20 +113,7 @@ class Simulator:
         self.data = data
         self.newton_cfg = newton_cfg
         self.time_cfg = time_cfg
-        pc_setup, pc_apply = make_preconditioner(precond, pc_cfg)
-
-        def advance(u_old, dt, data):
-            return newton_solve(
-                residual=lambda u: model.residual(u, u_old, dt, data),
-                jvp_at=lambda u: model.jvp(u, u_old, dt, data),
-                assemble=lambda u: model.assemble_stencil(u, u_old, dt, data),
-                pc_setup=pc_setup,
-                pc_apply=pc_apply,
-                u0=u_old,
-                cfg=newton_cfg,
-            )
-
-        self._advance = jax.jit(advance)
+        self._advance = jax.jit(make_step_fn(model, precond, newton_cfg, pc_cfg))
 
     def step(self, u_old: jax.Array, dt: float):
         """One Newton solve (no Δt adaptivity); returns (u, stats)."""
