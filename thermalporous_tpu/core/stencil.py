@@ -126,13 +126,33 @@ class ScalarStencil:
         return s
 
     def to_dense(self) -> jax.Array:
+        """Materialize as (N, N) by direct index scatter (one op, no probing).
+
+        Used for the multigrid coarsest-level LU, so it runs inside every
+        preconditioner setup: rows/cols are static index arithmetic; the
+        boundary off-diagonal entries are exactly zero by the full-shape
+        stencil convention, so their clipped scatter targets are harmless.
+        """
+        import numpy as _np
+
         shape = self.grid_shape
-        n = 1
-        for s in shape:
-            n *= s
-        cols = jnp.eye(n, dtype=self.diag.dtype).reshape((n,) + shape)
-        out = jax.vmap(self.matvec)(cols)
-        return out.reshape(n, n).T
+        n = int(_np.prod(shape))
+        lin = _np.arange(n).reshape(shape)
+        strides = _np.array([int(_np.prod(shape[a + 1 :])) for a in range(len(shape))])
+
+        dense = jnp.zeros((n, n), dtype=self.diag.dtype)
+        dense = dense.at[lin.ravel(), lin.ravel()].add(self.diag.reshape(n))
+        for a, (up, lo) in enumerate(zip(self.upper, self.lower)):
+            idx = _np.indices(shape)[a]
+            cols_up = _np.where(idx < shape[a] - 1, lin + strides[a], lin)
+            cols_lo = _np.where(idx > 0, lin - strides[a], lin)
+            dense = dense.at[lin.ravel(), cols_up.ravel()].add(
+                jnp.where(jnp.asarray(idx < shape[a] - 1), up, 0.0).reshape(n)
+            )
+            dense = dense.at[lin.ravel(), cols_lo.ravel()].add(
+                jnp.where(jnp.asarray(idx > 0), lo, 0.0).reshape(n)
+            )
+        return dense
 
 
 def invert_blocks(d: jax.Array) -> jax.Array:
