@@ -76,11 +76,21 @@ class SinglePhaseModel(ThermalModelBase):
     def residual_scales(self, u_old, dt, data: ProblemData):
         pp = self.pp
         vol = self.grid.cell_volume
+        w = data.wells
         p0, t0 = u_old[0], u_old[1]
         rho = pp.rho_w(p0, t0)
         mass = vol * data.phi * rho / dt
         energy = vol * ((1.0 - data.phi) * pp.rho_c_rock
                         + data.phi * rho * pp.cp_w) * t0 / dt
+        # well cells: the through-flow can dwarf the cell content per step
+        # (fine grids / strong wells); normalize their residual by the well's
+        # own throughput so the convergence test stays achievable in f32.
+        q_char = (
+            w.wi * (rho / pp.mu_w(t0)) * (jnp.abs(w.pbh - p0) + 0.01 * jnp.abs(p0))
+            + jnp.abs(w.qrate)
+        )
+        mass = mass + q_char
+        energy = energy + q_char * pp.cp_w * t0 + jnp.abs(w.qheat)
         return jnp.stack([mass, energy])
 
     def initial_state(self, data: ProblemData, dtype=jnp.float64):

@@ -125,7 +125,9 @@ class TwoPhaseModel(ThermalModelBase):
 
     def residual_scales(self, u_old, dt, data: ProblemData):
         pp = self.pp
+        rp = self.relperm
         vol = self.grid.cell_volume
+        w = data.wells
         p0, t0, s0 = u_old[0], u_old[1], u_old[2]
         rho_w, rho_o = pp.rho_w(p0, t0), pp.rho_o(p0, t0)
         mass_w = vol * data.phi * rho_w / dt
@@ -134,6 +136,15 @@ class TwoPhaseModel(ThermalModelBase):
             s0 * rho_w * pp.cp_w + (1.0 - s0) * rho_o * pp.cp_o
         )
         energy = vol * cap * t0 / dt
+        # well-cell normalization by total throughput (see singlephase note)
+        lam_tot = rho_w / pp.mu_w(t0) + rho_o * rp.kro(s0) / pp.mu_o(t0)
+        q_char = (
+            w.wi * lam_tot * (jnp.abs(w.pbh - p0) + 0.01 * jnp.abs(p0))
+            + jnp.abs(w.qrate)
+        )
+        mass_w = mass_w + q_char
+        mass_o = mass_o + q_char
+        energy = energy + q_char * pp.cp_w * t0 + jnp.abs(w.qheat)
         return jnp.stack([mass_w, energy, mass_o])
 
     def initial_state(self, data: ProblemData, dtype=jnp.float64):
