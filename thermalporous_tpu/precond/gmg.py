@@ -56,6 +56,9 @@ class GMGConfig:
     # grids are launch-latency-bound on TPU; 256 keeps most of the K-cycle's
     # iteration benefit (13.7 -> 15.8 on the SPE10 layer vs 23.4 at 1024)
     kcycle_min_cells: int = 256
+    # fuse smoother/matvec into Pallas kernels (TPU only; whole-level-in-VMEM
+    # with automatic fallback for oversized levels)
+    use_pallas: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -150,8 +153,22 @@ def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
     )
 
 
+def _mv(st: ScalarStencil, v, cfg: GMGConfig):
+    if cfg.use_pallas:
+        from thermalporous_tpu.kernels import matvec as pallas_matvec
+
+        return pallas_matvec(st, v)
+    return st.matvec(v)
+
+
 def _smooth(st, lam, b, x, cfg: GMGConfig):
     if cfg.smoother == "chebyshev":
+        if cfg.use_pallas:
+            from thermalporous_tpu.kernels import chebyshev_smooth
+
+            return chebyshev_smooth(
+                st, b, x, lam, degree=cfg.degree, lam_min_frac=cfg.lam_min_frac
+            )
         return chebyshev(
             st, b, x, degree=cfg.degree, lam_max=lam, lam_min_frac=cfg.lam_min_frac
         )
@@ -174,7 +191,7 @@ def _coarse_correction(state: GMGState, level: int, rc: jax.Array, cfg: GMGConfi
         or math.prod(state.stencils[level].grid_shape) < cfg.kcycle_min_cells
     ):
         return e1
-    a_mat = state.stencils[level].matvec
+    a_mat = lambda v: _mv(state.stencils[level], v, cfg)
     if cfg.cycle_type == "w":
         r1 = rc - a_mat(e1)
         return e1 + _v_cycle(state, level, r1, cfg)
@@ -208,7 +225,7 @@ def _v_cycle(state: GMGState, level: int, b: jax.Array, cfg: GMGConfig) -> jax.A
     st = state.stencils[level]
     lam = state.lam_max[level]
     x = _smooth(st, lam, b, None, cfg)
-    r = b - st.matvec(x)
+    r = b - _mv(st, x, cfg)
     rc = _blocksum(r, st.grid_shape)
     ec = _coarse_correction(state, level + 1, rc, cfg)
     x = x + _prolong(ec, st.grid_shape)
@@ -219,6 +236,6 @@ def gmg_apply(state: GMGState, b: jax.Array, cfg: GMGConfig = GMGConfig()) -> ja
     """Approximate A⁻¹b with ``cfg.cycles`` V-cycles (the BoomerAMG stand-in)."""
     x = _v_cycle(state, 0, b, cfg)
     for _ in range(cfg.cycles - 1):
-        r = b - state.stencils[0].matvec(x)
+        r = b - _mv(state.stencils[0], x, cfg)
         x = x + _v_cycle(state, 0, r, cfg)
     return x
