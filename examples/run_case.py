@@ -117,6 +117,15 @@ def main():
           f"fgmres total {result.total_ksp} ({result.total_ksp/n:.1f}/newton)")
     print(f"# throughput {case.model.grid.ncells * result.total_newton / result.wall_s:.3e} cell-updates/s")
 
+    if case.well_masks:
+        from thermalporous_tpu.physics import well_rates
+
+        print("# final well rates (positive = into reservoir):")
+        for name, rec in well_rates(case.model, result.u, case.data,
+                                    case.well_masks).items():
+            vals = "  ".join(f"{k}={v:+.4g}" for k, v in rec.items())
+            print(f"#   {name:10s} {vals}")
+
 
 if __name__ == "__main__":
     main()

@@ -26,16 +26,10 @@ from thermalporous_tpu.physics.wells import WellFields
 class SinglePhaseModel(ThermalModelBase):
     nc = 2
 
-    def cell_terms(self, u, u_old, dt, phi, well: WellFields):
+    def well_sources(self, u, well: WellFields):
+        """Per-cell source terms (nc, *shape), positive INTO the reservoir."""
         pp = self.pp
-        vol = self.grid.cell_volume
         p, T = u[0], u[1]
-        p0, T0 = u_old[0], u_old[1]
-
-        rho = pp.rho_w(p, T)
-        rho0 = pp.rho_w(p0, T0)
-        acc_m = vol * phi * (rho - rho0) / dt
-        acc_e = vol * (pp.energy_density_sp(p, T, phi) - pp.energy_density_sp(p0, T0, phi)) / dt
 
         # Peaceman BHP wells: q = WI·(ρ/μ)·(p_bh − p), upwinded by flow sign —
         # inflow carries injected-fluid properties at T_inj, outflow local T.
@@ -54,7 +48,20 @@ class SinglePhaseModel(ThermalModelBase):
         # Heaters: pure energy sources.
         q_e = q_e + well.qheat
 
-        return jnp.stack([acc_m - q_m, acc_e - q_e])
+        return jnp.stack([q_m, q_e])
+
+    def cell_terms(self, u, u_old, dt, phi, well: WellFields):
+        pp = self.pp
+        vol = self.grid.cell_volume
+        p, T = u[0], u[1]
+        p0, T0 = u_old[0], u_old[1]
+
+        rho = pp.rho_w(p, T)
+        rho0 = pp.rho_w(p0, T0)
+        acc_m = vol * phi * (rho - rho0) / dt
+        acc_e = vol * (pp.energy_density_sp(p, T, phi) - pp.energy_density_sp(p0, T0, phi)) / dt
+
+        return jnp.stack([acc_m, acc_e]) - self.well_sources(u, well)
 
     def face_terms(self, axis, u_l, u_r, tgeo, tcond):
         pp = self.pp

@@ -39,19 +39,12 @@ class TwoPhaseModel(ThermalModelBase):
         self.relperm = relperm or CoreyRelPerm()
         self.s_init = s_init
 
-    def cell_terms(self, u, u_old, dt, phi, well: WellFields):
+    def well_sources(self, u, well: WellFields):
+        """Per-cell source terms (nc, *shape), positive INTO the reservoir."""
         pp = self.pp
         rp = self.relperm
-        vol = self.grid.cell_volume
         p, T, s = u[0], u[1], u[2]
-        p0, T0, s0 = u_old[0], u_old[1], u_old[2]
-
         rho_w, rho_o = pp.rho_w(p, T), pp.rho_o(p, T)
-        rho_w0, rho_o0 = pp.rho_w(p0, T0), pp.rho_o(p0, T0)
-        acc_w = vol * phi * (rho_w * s - rho_w0 * s0) / dt
-        acc_o = vol * phi * (rho_o * (1.0 - s) - rho_o0 * (1.0 - s0)) / dt
-        acc_e = vol * (pp.energy_density_tp(p, T, s, phi)
-                       - pp.energy_density_tp(p0, T0, s0, phi)) / dt
 
         # Peaceman BHP wells.  Injection (inflow with a specified T_inj)
         # injects water at T_inj; production splits phases by their local
@@ -83,7 +76,22 @@ class TwoPhaseModel(ThermalModelBase):
 
         q_e = q_e + well.qheat
 
-        return jnp.stack([acc_w - q_w, acc_e - q_e, acc_o - q_o])
+        return jnp.stack([q_w, q_e, q_o])
+
+    def cell_terms(self, u, u_old, dt, phi, well: WellFields):
+        pp = self.pp
+        vol = self.grid.cell_volume
+        p, T, s = u[0], u[1], u[2]
+        p0, T0, s0 = u_old[0], u_old[1], u_old[2]
+
+        rho_w, rho_o = pp.rho_w(p, T), pp.rho_o(p, T)
+        rho_w0, rho_o0 = pp.rho_w(p0, T0), pp.rho_o(p0, T0)
+        acc_w = vol * phi * (rho_w * s - rho_w0 * s0) / dt
+        acc_o = vol * phi * (rho_o * (1.0 - s) - rho_o0 * (1.0 - s0)) / dt
+        acc_e = vol * (pp.energy_density_tp(p, T, s, phi)
+                       - pp.energy_density_tp(p0, T0, s0, phi)) / dt
+
+        return jnp.stack([acc_w, acc_e, acc_o]) - self.well_sources(u, well)
 
     def face_terms(self, axis, u_l, u_r, tgeo, tcond):
         pp = self.pp

@@ -7,6 +7,8 @@ from thermalporous_tpu.physics.wells import (
     build_well_fields,
     empty_well_fields,
     peaceman_well_index,
+    per_well_masks,
+    well_rates,
 )
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "build_well_fields",
     "empty_well_fields",
     "peaceman_well_index",
+    "per_well_masks",
+    "well_rates",
 ]

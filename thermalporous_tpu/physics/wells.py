@@ -147,6 +147,40 @@ def build_well_fields(
     )
 
 
+def per_well_masks(
+    grid: Grid, wells: Sequence[Well] = (), heaters: Sequence[Heater] = ()
+) -> dict[str, np.ndarray]:
+    """Boolean cell masks per named well/heater (diagnostics only)."""
+    masks: dict[str, np.ndarray] = {}
+    for w in list(wells) + list(heaters):
+        m = masks.setdefault(w.name, np.zeros(grid.shape, dtype=bool))
+        for cell in w.cells:
+            m[tuple(int(i) for i in cell)] = True
+    return masks
+
+
+def well_rates(model, u, data, masks: dict[str, np.ndarray]) -> dict[str, dict]:
+    """Per-well surface report: mass [kg/s] and energy [W] rates, positive
+    into the reservoir (injectors +, producers −).
+
+    The reference's cases report these through its well models (SURVEY.md
+    §2.7); here they are a pure diagnostic over the model's source fields.
+    """
+    q = np.asarray(model.well_sources(u, data.wells))
+    out: dict[str, dict] = {}
+    for name, mask in masks.items():
+        rec = {}
+        if model.nc == 2:
+            rec["mass_kg_s"] = float(q[0][mask].sum())
+            rec["energy_W"] = float(q[1][mask].sum())
+        else:
+            rec["water_kg_s"] = float(q[0][mask].sum())
+            rec["oil_kg_s"] = float(q[2][mask].sum())
+            rec["energy_W"] = float(q[1][mask].sum())
+        out[name] = rec
+    return out
+
+
 def empty_well_fields(grid: Grid, dtype=jnp.float64) -> WellFields:
     z = jnp.zeros(grid.shape, dtype=dtype)
     return WellFields(wi=z, pbh=z, tinj=z, has_tinj=z, qrate=z, qheat=z)

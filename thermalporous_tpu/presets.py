@@ -21,7 +21,7 @@ from thermalporous_tpu.models import (
     TwoPhaseModel,
     make_problem_data,
 )
-from thermalporous_tpu.physics import Heater, PhysicalParams, Well
+from thermalporous_tpu.physics import Heater, PhysicalParams, Well, per_well_masks
 from thermalporous_tpu.solve import NewtonConfig, TimeConfig
 
 
@@ -35,6 +35,7 @@ class Case:
     newton_cfg: NewtonConfig
     t_end: float
     precond: str = "cptr"
+    well_masks: dict | None = None
 
 
 def sp_hot_injection_2d(n: int = 40) -> Case:
@@ -47,6 +48,7 @@ def sp_hot_injection_2d(n: int = 40) -> Case:
     ]
     data = make_problem_data(g, pp, kx=1e-13, phi=0.2, wells=wells)
     return Case(
+        well_masks=per_well_masks(g, wells),
         name="sp_hot_injection_2d",
         description="2D homogeneous single-phase hot-water injection (40x40)",
         model=SinglePhaseModel(g, pp),
@@ -73,6 +75,7 @@ def sp_spe10_layer_2d(layer: int = 0, seed: int = 2020) -> Case:
         g, pp, kx=fields.kx, ky=fields.ky, phi=fields.phi, wells=wells
     )
     return Case(
+        well_masks=per_well_masks(g, wells),
         name="sp_spe10_layer_2d",
         description="2D single-phase, SPE10-style heterogeneous layer (60x220)",
         model=SinglePhaseModel(g, pp),
@@ -107,6 +110,7 @@ def sp_geothermal_3d(nx: int = 64, ny: int = 64, nz: int = 32) -> Case:
     data = make_problem_data(g, pp, kx=k, kz=0.3 * k, phi=0.15, wells=wells,
                              heaters=heaters)
     return Case(
+        well_masks=per_well_masks(g, wells, heaters),
         name="sp_geothermal_3d",
         description="3D single-phase geothermal box (64x64x32), gravity + heaters",
         model=SinglePhaseModel(g, pp),
@@ -129,6 +133,7 @@ def tp_thermal_2d(n: int = 60) -> Case:
     ]
     data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells)
     return Case(
+        well_masks=per_well_masks(g, wells),
         name="tp_thermal_2d",
         description="2D two-phase dead-oil thermal displacement (60x60)",
         model=TwoPhaseModel(g, pp, s_init=0.2),
@@ -159,6 +164,7 @@ def tp_spe10_3d(nx: int = 60, ny: int = 110, nz: int = 16, seed: int = 2020) -> 
         wells=wells,
     )
     return Case(
+        well_masks=per_well_masks(g, wells),
         name="tp_spe10_3d",
         description=f"3D two-phase SPE10-subset thermal flood ({nx}x{ny}x{nz})",
         model=TwoPhaseModel(g, pp, s_init=0.15),
