@@ -83,3 +83,36 @@ def test_sharded_newton_step_matches():
     np.testing.assert_allclose(np.asarray(u_out[1]), np.asarray(u_ref[1]), atol=1e-6)
     # result is actually distributed
     assert len(u_out.sharding.device_set) == 8
+
+
+def test_sharded_3d_two_phase_step():
+    """3D domain decomposition (z local): full CPTR step on a 2x4 mesh."""
+    import dataclasses
+
+    pp = PhysicalParams()
+    g = Grid(shape=(8, 16, 6), spacing=(10.0, 10.0, 4.0), gravity=9.81)
+    rng = np.random.default_rng(4)
+    k = 1e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=tuple((0, 0, iz) for iz in range(6)), control="bhp",
+             p_bh=4.0e7, T_inj=420.0),
+        Well(cells=tuple((7, 15, iz) for iz in range(6)), control="bhp",
+             p_bh=1.5e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, kz=0.3 * k, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp)
+
+    cfg = NewtonConfig(rtol=1e-8, ksp_rtol=1e-6, ksp_maxiter=80)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+    u0 = model.initial_state(data)
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+    assert bool(stats_ref.converged)
+
+    mesh = make_grid_mesh(8)
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      newton_cfg=cfg)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+    assert bool(stats.converged)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]), atol=10.0)
+    np.testing.assert_allclose(np.asarray(u_out[2]), np.asarray(u_ref[2]), atol=1e-8)
+    assert len(u_out.sharding.device_set) == 8
