@@ -68,8 +68,7 @@ class GMGState:
 
     stencils: tuple[ScalarStencil, ...]
     lam_max: tuple[jax.Array, ...]
-    coarse_lu: jax.Array
-    coarse_piv: jax.Array
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
 
 
 def _coarse_shape(shape: tuple[int, ...]) -> tuple[int, ...]:
@@ -143,13 +142,15 @@ def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
         stencils.append(galerkin_coarsen(stencils[-1]))
 
     lam_max = tuple(gershgorin_lambda_max(s) for s in stencils[:-1])
+    # Dense inverse, not an LU: the K-cycle visits the coarsest level many
+    # times per application, and triangular solves are sequential (slow on
+    # TPU) while inv·b is one small MXU matmul.  Inversion happens once per
+    # preconditioner setup on a tiny, diagonally-shifted operator.
     dense = stencils[-1].to_dense()
-    lu, piv = jax.scipy.linalg.lu_factor(dense)
     return GMGState(
         stencils=tuple(stencils),
         lam_max=lam_max,
-        coarse_lu=lu,
-        coarse_piv=piv,
+        coarse_inv=jnp.linalg.inv(dense),
     )
 
 
@@ -217,9 +218,7 @@ def _v_cycle(state: GMGState, level: int, b: jax.Array, cfg: GMGConfig) -> jax.A
     if level == len(state.stencils) - 1:
         shape = state.stencils[level].grid_shape
         n = math.prod(shape)
-        e = jax.scipy.linalg.lu_solve(
-            (state.coarse_lu, state.coarse_piv), b.reshape(n)
-        )
+        e = state.coarse_inv @ b.reshape(n)
         return e.reshape(shape)
 
     st = state.stencils[level]
