@@ -92,23 +92,28 @@ def fgmres(
         j, V, Z, H, cs, sn, g, res, done = carry
         return jnp.logical_and(j < m, jnp.logical_not(done))
 
+    axes = tuple(range(1, b.ndim + 1))
+
     def body(carry):
         j, V, Z, H, cs, sn, g, res, done = carry
         z = precond(V[j])
         w = matvec(z)
         Z = Z.at[j].set(z)
 
-        # modified Gram-Schmidt against all m+1 slots (unused slots are zero,
-        # so the masked contributions vanish; keeps shapes static)
-        def mgs(i, val):
-            w, H = val
-            h = _dot(V[i], w)
-            h = jnp.where(i <= j, h, 0.0)
-            w = w - h * V[i]
-            H = H.at[i, j].set(h)
-            return (w, H)
+        # Orthogonalization: classical Gram-Schmidt with one reorthogonalization
+        # (CGS2).  Unlike modified GS, each pass is ONE batched contraction
+        # over the whole basis — 4 sweeps of V instead of m+1 dependent dots
+        # per iteration — and CGS2 matches MGS stability in practice.  Unused
+        # basis slots are zero, so masking beyond j is exact.
+        active = (jnp.arange(m + 1) <= j).astype(w.dtype)
 
-        w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+        def orth(w):
+            h = jnp.tensordot(V, w, axes=(axes, tuple(range(b.ndim)))) * active
+            return w - jnp.tensordot(h, V, axes=(0, 0)), h
+
+        w, h1 = orth(w)
+        w, h2 = orth(w)
+        H = H.at[:, j].set(h1 + h2)
         h_next = _norm(w)
         breakdown = h_next <= 1e-300
         V = V.at[j + 1].set(jnp.where(breakdown, 0.0, w / jnp.where(breakdown, 1.0, h_next)))
