@@ -46,10 +46,10 @@ class BlockStencil:
 
     def matvec(self, v: jax.Array) -> jax.Array:
         """Apply the stencil to a state-shaped vector ``v`` of shape (nc, *shape)."""
-        y = jnp.einsum("ij...,j...->i...", self.diag, v)
+        y = apply_blocks(self.diag, v)
         for a, (up, lo) in enumerate(zip(self.upper, self.lower)):
-            y = y + jnp.einsum("ij...,j...->i...", up, shift_minus(v, a, lead=1))
-            y = y + jnp.einsum("ij...,j...->i...", lo, shift_plus(v, a, lead=1))
+            y = y + apply_blocks(up, shift_minus(v, a, lead=1))
+            y = y + apply_blocks(lo, shift_plus(v, a, lead=1))
         return y
 
     def scalar(self, row: int, col: int) -> "ScalarStencil":
@@ -78,7 +78,7 @@ class BlockStencil:
         ``w`` has shape (nc, nc, *shape); this is the decoupling operation of
         CPR/CPTR (SURVEY.md §2.8): the stencil of W·A where W = blockdiag(w).
         """
-        mul = lambda blk: jnp.einsum("ik...,kj...->ij...", w, blk)
+        mul = lambda blk: multiply_blocks(w, blk)
         return BlockStencil(
             diag=mul(self.diag),
             upper=tuple(mul(u) for u in self.upper),
@@ -200,5 +200,32 @@ def invert_blocks(d: jax.Array) -> jax.Array:
 
 
 def apply_blocks(w: jax.Array, v: jax.Array) -> jax.Array:
-    """Apply per-cell blocks ``w`` (nc, nc, *shape) to a vector (nc, *shape)."""
-    return jnp.einsum("ij...,j...->i...", w, v)
+    """Apply per-cell blocks ``w`` (nc, nc, *shape) to a vector (nc, *shape).
+
+    Written as explicit small-index sums, not einsum: XLA lowers leading-axis
+    block einsums into layout shuffles that cost ~10x the actual bandwidth on
+    TPU; nc² fused elementwise multiply-adds are optimal (VPU, one pass).
+    """
+    nc = w.shape[0]
+    rows = []
+    for i in range(nc):
+        acc = w[i, 0] * v[0]
+        for k in range(1, nc):
+            acc = acc + w[i, k] * v[k]
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def multiply_blocks(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-cell block product a·b, both (nc, nc, *shape) (see apply_blocks)."""
+    nc = a.shape[0]
+    rows = []
+    for i in range(nc):
+        cols = []
+        for j in range(nc):
+            acc = a[i, 0] * b[0, j]
+            for k in range(1, nc):
+                acc = acc + a[i, k] * b[k, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
