@@ -118,3 +118,20 @@ def test_adaptive_run_completes():
     # telemetry is populated
     assert all(r.newton_iters >= 1 for r in result.records)
     assert all(r.residual_norm <= 1e-6 * r.residual_norm0 + 1e-12 for r in result.records)
+
+
+def test_dt_retry_on_divergence():
+    """An absurd initial dt must be cut back by the controller, not crash."""
+    from thermalporous_tpu.solve import TimeConfig
+
+    model, data = _tp_case(n=8)
+    sim = Simulator(
+        model, data, precond="cptr",
+        newton_cfg=NewtonConfig(max_iters=8, ksp_maxiter=40),
+        time_cfg=TimeConfig(dt_init=1.0e9, dt_min=1.0, cutback=0.25),
+    )
+    res = sim.run(t_end=2.0e5, max_steps=50)
+    assert res.t == pytest.approx(2.0e5)
+    assert sum(r.retries for r in res.records) >= 1, "expected at least one cutback"
+    s = np.asarray(res.u[2])
+    assert s.min() >= -1e-6 and s.max() <= 1.0 + 1e-6
