@@ -68,26 +68,112 @@ def fits_vmem(shape, dtype, n_operands: int, budget_bytes: int = 12 * 2**20) -> 
     return n_operands * nbytes <= budget_bytes
 
 
+# ---------------------------------------------------------------- row bands
+# 2D levels too big for whole-array kernels are processed in row bands over
+# the sublane (x) axis with an 8-row halo (Mosaic's DMA slice alignment),
+# the lane (y) axis whole.  One smooth of Chebyshev degree d applies the
+# stencil d times; contamination from the band edge penetrates d−1 rows, so
+# the 8-row halo keeps the interior exact for any degree ≤ 8.
+
+HALO = 8
+
+
+def _band_tile(nx, ny, channels, itemsize, budget=9 * 2**20):
+    for t in (256, 128, 64, 32, 16, 8):
+        if nx % t:
+            continue
+        if 2 * channels * (t + 2 * HALO) * ny * itemsize <= budget:
+            return t
+    return None
+
+
+def _band_call(body, packed, out_channels, nx, ny, tile_t, scalars=None,
+               interpret=False):
+    """Run ``body(scal_ref, window, out_ref)`` over row bands of ``packed``.
+
+    ``packed``: (C, nx + 2·HALO, ny); each band DMAs one
+    (C, tile+2·HALO, ny) window; body writes (out_channels, tile, ny).
+    """
+    channels = packed.shape[0]
+
+    def kernel(scal_ref, in_hbm, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        t = out_ref.shape[1]
+        cp = pltpu.make_async_copy(
+            in_hbm.at[:, pl.ds(i * t, t + 2 * HALO), :], scratch, sem
+        )
+        cp.start()
+        cp.wait()
+        body(scal_ref, scratch[...], out_ref)
+
+    scal = jnp.zeros((1, 1), packed.dtype) if scalars is None else scalars
+    out = pl.pallas_call(
+        kernel,
+        grid=(nx // tile_t,),
+        out_shape=jax.ShapeDtypeStruct((out_channels, nx, ny), packed.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (out_channels, tile_t, ny), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((channels, tile_t + 2 * HALO, ny), packed.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(scal, packed)
+    return out
+
+
+def _pad_rows(a: jax.Array) -> jax.Array:
+    return jnp.pad(a, [(0, 0), (HALO, HALO), (0, 0)])
+
+
+def _pallas_available(interpret: bool) -> bool:
+    """Compiled Pallas needs a TPU backend; interpret mode runs anywhere."""
+    return interpret or jax.default_backend() != "cpu"
+
+
 def matvec(st: ScalarStencil, v: jax.Array, interpret: bool = False) -> jax.Array:
-    """Fused y = A·v; falls back to the jnp path when VMEM would overflow."""
-    dim = len(st.grid_shape)
-    if not fits_vmem(st.grid_shape, v.dtype, n_operands=2 * dim + 3):
+    """Fused y = A·v: whole-array kernel when it fits VMEM, 2D row bands
+    otherwise; jnp fallback for oversized 3D levels."""
+    if not _pallas_available(interpret):
         return st.matvec(v)
+    dim = len(st.grid_shape)
     packed = pack_stencil(st).astype(v.dtype)
 
-    def kernel(s_ref, v_ref, o_ref):
-        o_ref[...] = _apply(s_ref[...], v_ref[...], dim)
+    if fits_vmem(st.grid_shape, v.dtype, n_operands=2 * dim + 3):
+        def kernel(s_ref, v_ref, o_ref):
+            o_ref[...] = _apply(s_ref[...], v_ref[...], dim)
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(packed, v)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(packed, v)
+
+    if dim == 2:
+        nx, ny = st.grid_shape
+        t = _band_tile(nx, ny, channels=2 * dim + 2, itemsize=v.dtype.itemsize)
+        if t is not None:
+            data = _pad_rows(jnp.concatenate([packed, v[None]], axis=0))
+
+            def body(_scal, window, out_ref):
+                tt = out_ref.shape[1]
+                y = _apply(window[: 2 * dim + 1], window[2 * dim + 1], dim)
+                out_ref[...] = y[None, HALO : HALO + tt, :]
+
+            return _band_call(body, data, 1, nx, ny, t, interpret=interpret)[0]
+
+    return st.matvec(v)
 
 
 def chebyshev_smooth(
@@ -102,28 +188,20 @@ def chebyshev_smooth(
 ) -> jax.Array:
     """Entire degree-k Chebyshev smooth in one kernel (matches
     precond.chebyshev.chebyshev numerically)."""
-    dim = len(st.grid_shape)
-    if not fits_vmem(st.grid_shape, b.dtype, n_operands=2 * dim + 7):
+    if not _pallas_available(interpret):
         from thermalporous_tpu.precond.chebyshev import chebyshev
 
         return chebyshev(st, b, x, degree=degree, lam_max=lam_max,
                          lam_min_frac=lam_min_frac, lam_max_safety=lam_max_safety)
+    dim = len(st.grid_shape)
 
-    packed = pack_stencil(st).astype(b.dtype)
-    x0 = jnp.zeros_like(b) if x is None else x
-    lam = jnp.asarray(lam_max, dtype=b.dtype).reshape(1, 1)
-
-    def kernel(lam_ref, s_ref, b_ref, x_ref, o_ref):
-        s = s_ref[...]
-        bb = b_ref[...]
-        xx = x_ref[...]
-        lmax = lam_ref[0, 0] * lam_max_safety
-        lmin = lam_ref[0, 0] * lam_min_frac
+    def cheb_math(s, bb, xx, lam):
+        lmax = lam * lam_max_safety
+        lmin = lam * lam_min_frac
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma1 = theta / delta
         inv_diag = 1.0 / s[0]
-
         z = inv_diag * (bb - _apply(s, xx, dim))
         d = z / theta
         rho = 1.0 / sigma1
@@ -133,17 +211,56 @@ def chebyshev_smooth(
             rho_new = 1.0 / (2.0 * sigma1 - rho)
             d = rho_new * rho * d + (2.0 * rho_new / delta) * z
             rho = rho_new
-        o_ref[...] = xx + d
+        return xx + d
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(lam, packed, b, x0)
+    packed = pack_stencil(st).astype(b.dtype)
+    x0 = jnp.zeros_like(b) if x is None else x
+    lam = jnp.asarray(lam_max, dtype=b.dtype).reshape(1, 1)
+
+    if fits_vmem(st.grid_shape, b.dtype, n_operands=2 * dim + 7):
+        def kernel(lam_ref, s_ref, b_ref, x_ref, o_ref):
+            o_ref[...] = cheb_math(s_ref[...], b_ref[...], x_ref[...], lam_ref[0, 0])
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(lam, packed, b, x0)
+
+    # 2D row bands: degree stencil applications contaminate degree−1 rows
+    # from the band edge, so the HALO-row halo keeps the interior exact for
+    # degree ≤ HALO.  The ghost diagonal is padded with ONES (a zero diagonal
+    # would put inf/NaN in the ghost rows through 1/diag).
+    if dim == 2 and degree <= HALO:
+        nx, ny = st.grid_shape
+        t = _band_tile(nx, ny, channels=2 * dim + 3, itemsize=b.dtype.itemsize)
+        if t is not None:
+            diag_p = jnp.pad(packed[0:1], [(0, 0), (HALO, HALO), (0, 0)],
+                             constant_values=1.0)
+            rest_p = _pad_rows(jnp.concatenate(
+                [packed[1:], b[None], x0[None]], axis=0))
+            data = jnp.concatenate([diag_p, rest_p], axis=0)
+
+            def body(lam_ref, window, out_ref):
+                tt = out_ref.shape[1]
+                s = window[: 2 * dim + 1]
+                bb = window[2 * dim + 1]
+                xx = window[2 * dim + 2]
+                y = cheb_math(s, bb, xx, lam_ref[0, 0])
+                out_ref[...] = y[None, HALO : HALO + tt, :]
+
+            return _band_call(
+                body, data, 1, nx, ny, t, scalars=lam, interpret=interpret
+            )[0]
+
+    from thermalporous_tpu.precond.chebyshev import chebyshev
+
+    return chebyshev(st, b, x, degree=degree, lam_max=lam_max,
+                     lam_min_frac=lam_min_frac, lam_max_safety=lam_max_safety)

@@ -31,6 +31,7 @@ def make_step_fn(
     precond: str = "cptr",
     newton_cfg: NewtonConfig = NewtonConfig(),
     pc_cfg: CPRConfig | None = None,
+    fuse: bool = False,
 ):
     """Build the jittable full implicit step ``advance(u_old, dt, data)``.
 
@@ -38,13 +39,34 @@ def make_step_fn(
     driver entry points — one Newton solve (assembly, CPTR setup, FGMRES,
     line search) as one XLA program, with material-balance-scaled
     convergence norms.
+
+    ``fuse=True`` routes the residual and its JVP through the fused Pallas
+    kernels (2D models; transparent jnp fallback elsewhere).
     """
     pc_setup, pc_apply = make_preconditioner(precond, pc_cfg)
 
+    if fuse:
+        from thermalporous_tpu.kernels.residual_pallas import (
+            fused_jvp,
+            fused_residual,
+        )
+
+        def residual_at(u_old, dt, data):
+            return lambda u: fused_residual(model, u, u_old, dt, data)
+
+        def jvp_at_factory(u_old, dt, data):
+            return lambda u: (lambda v: fused_jvp(model, u, v, u_old, dt, data))
+    else:
+        def residual_at(u_old, dt, data):
+            return lambda u: model.residual(u, u_old, dt, data)
+
+        def jvp_at_factory(u_old, dt, data):
+            return lambda u: model.jvp(u, u_old, dt, data)
+
     def advance(u_old, dt, data):
         return newton_solve(
-            residual=lambda u: model.residual(u, u_old, dt, data),
-            jvp_at=lambda u: model.jvp(u, u_old, dt, data),
+            residual=residual_at(u_old, dt, data),
+            jvp_at=jvp_at_factory(u_old, dt, data),
             assemble=lambda u: model.assemble_stencil(u, u_old, dt, data),
             pc_setup=pc_setup,
             pc_apply=pc_apply,
