@@ -36,6 +36,10 @@ def main():
     p.add_argument("--ckpt-dir", default=None, metavar="DIR")
     p.add_argument("--ckpt-every", type=int, default=10)
     p.add_argument("--resume", default=None, metavar="NPZ")
+    p.add_argument("--fuse", action="store_true",
+                   help="fused Pallas residual/JVP kernels (TPU, 2D cases)")
+    p.add_argument("--pallas-gmg", action="store_true",
+                   help="fused Pallas multigrid smoothers (TPU)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
 
@@ -62,12 +66,19 @@ def main():
     print(f"# grid {case.model.grid.shape} = {case.model.grid.ncells} cells, "
           f"{case.model.nc} unknowns/cell, precond={args.precond or case.precond}")
 
+    pc_cfg = None
+    if args.pallas_gmg:
+        from thermalporous_tpu.precond import CPRConfig, GMGConfig
+
+        pc_cfg = CPRConfig(gmg=GMGConfig(use_pallas=True))
     sim = Simulator(
         case.model,
         case.data,
         precond=args.precond or case.precond,
+        pc_cfg=pc_cfg,
         newton_cfg=case.newton_cfg,
         time_cfg=case.time_cfg,
+        fuse=args.fuse,
     )
 
     callbacks = []

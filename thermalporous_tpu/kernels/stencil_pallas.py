@@ -169,7 +169,7 @@ def matvec(st: ScalarStencil, v: jax.Array, interpret: bool = False) -> jax.Arra
             def body(_scal, window, out_ref):
                 tt = out_ref.shape[1]
                 y = _apply(window[: 2 * dim + 1], window[2 * dim + 1], dim)
-                out_ref[...] = y[None, HALO : HALO + tt, :]
+                out_ref[0] = y[HALO : HALO + tt, :]
 
             return _band_call(body, data, 1, nx, ny, t, interpret=interpret)[0]
 
@@ -254,7 +254,7 @@ def chebyshev_smooth(
                 bb = window[2 * dim + 1]
                 xx = window[2 * dim + 2]
                 y = cheb_math(s, bb, xx, lam_ref[0, 0])
-                out_ref[...] = y[None, HALO : HALO + tt, :]
+                out_ref[0] = y[HALO : HALO + tt, :]
 
             return _band_call(
                 body, data, 1, nx, ny, t, scalars=lam, interpret=interpret

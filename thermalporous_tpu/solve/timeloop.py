@@ -130,12 +130,15 @@ class Simulator:
         pc_cfg: CPRConfig | None = None,
         newton_cfg: NewtonConfig = NewtonConfig(),
         time_cfg: TimeConfig = TimeConfig(),
+        fuse: bool = False,
     ):
         self.model = model
         self.data = data
         self.newton_cfg = newton_cfg
         self.time_cfg = time_cfg
-        self._advance = jax.jit(make_step_fn(model, precond, newton_cfg, pc_cfg))
+        self._advance = jax.jit(
+            make_step_fn(model, precond, newton_cfg, pc_cfg, fuse=fuse)
+        )
 
     def step(self, u_old: jax.Array, dt: float):
         """One Newton solve (no Δt adaptivity); returns (u, stats)."""
