@@ -67,13 +67,33 @@ def main():
         data = make_problem_data(g, pp, kx=f.kx, ky=f.ky, phi=f.phi, wells=wells)
         return model_cls(g, pp), data
 
-    problems = [(f"homog {n}x{n}", *homo_case(n)) for n in (20, 40, 80)]
-    problems.append(("SPE10-layer 60x220", *spe10_case()))
+    def stiff_case(n=80):
+        from thermalporous_tpu.physics import Heater
+
+        g = Grid(shape=(n, n), spacing=(5.0, 5.0), thickness=10.0)
+        rng = np.random.default_rng(0)
+        k = 1e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+        wells = [
+            Well(cells=((0, 0),), control="bhp", p_bh=3.5e7, T_inj=450.0),
+            Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+        ]
+        heaters = [Heater(cells=tuple((n // 2, j) for j in range(10, n - 10)),
+                          power=5e6)]
+        data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells,
+                                 heaters=heaters)
+        return model_cls(g, pp), data
+
+    problems = [(f"homog {n}x{n}", *homo_case(n), 2.0e4) for n in (20, 40, 80)]
+    problems.append(("SPE10-layer 60x220", *spe10_case(), 2.0e4))
+    if not args.tp:
+        # the [P2] regime: strong heat source + large dt separates CPTR from
+        # pressure-only CPR (measured ~8.6 vs ~14.3 iters/Newton at 80x80)
+        problems.append(("heater-stiff 80x80", *stiff_case(), 1.0e5))
 
     preconds = ["jacobi", "cpr", "cptr"]
     print(f"{'problem':20s} " + "  ".join(f"{p:>8s}" for p in preconds)
           + "   (FGMRES iters per Newton, lower+flatter = better)")
-    for name, model, data in problems:
+    for name, model, data, dt in problems:
         row = []
         for pc in preconds:
             sim = Simulator(model, data, precond=pc,
@@ -81,7 +101,6 @@ def main():
             u = model.initial_state(data)
             tot_k = tot_n = 0
             failed = False
-            dt = 2.0e4
             for _ in range(args.steps):
                 u2, st = sim.step(u, dt)
                 if not bool(st.converged):

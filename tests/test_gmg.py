@@ -117,3 +117,66 @@ def test_vcycle_heterogeneous_contrast(rng):
         if n < 1e-8 * n0:
             break
     assert n < 1e-6 * n0, f"GMG stalled on heterogeneous problem: {n/n0:.2e}"
+
+
+def test_galerkin_semicoarsening_is_rap(rng):
+    """Per-axis factors: RAP identity with the z axis kept fine."""
+    shape = (6, 4, 5)
+    k = jnp.asarray(np.exp(rng.standard_normal(shape)))
+    st = poisson_stencil(shape, k=k, shift=0.1)
+    factors = (2, 2, 1)
+    coarse = galerkin_coarsen(st, factors)
+    a = np.asarray(st.to_dense())
+
+    coarse_shape = tuple((n + 1) // 2 if f == 2 else n
+                         for n, f in zip(shape, factors))
+    nf, ncs = math.prod(shape), math.prod(coarse_shape)
+    r = np.zeros((ncs, nf))
+    for idx in np.ndindex(*shape):
+        cidx = tuple(i // 2 if f == 2 else i for i, f in zip(idx, factors))
+        r[np.ravel_multi_index(cidx, coarse_shape),
+          np.ravel_multi_index(idx, shape)] = 1.0
+    np.testing.assert_allclose(np.asarray(coarse.to_dense()), r @ a @ r.T,
+                               atol=1e-12)
+
+
+def test_semicoarsening_converges_anisotropic(rng):
+    """Thin-layer anisotropy: both full coarsening (whose summation
+    aggregation folds the strong vertical couplings into the diagonal,
+    line-aggregation-style) and z-semicoarsening must converge at PC-grade
+    rates; measured ~0.23 each with K-cycles — semicoarsening stays a
+    config option for V-cycle/low-cost regimes."""
+    from thermalporous_tpu.precond.gmg import GMGConfig, gmg_apply, gmg_setup
+
+    shape = (32, 32, 8)
+    # vertical coupling 100x stronger (thin cells): anisotropic stencil
+    grid = Grid(shape=shape, spacing=(10.0, 10.0, 0.1))
+    k = jnp.asarray(np.exp(0.5 * rng.standard_normal(shape))) * 1e-13
+    tf = harmonic_face_transmissibility(grid, [k, k, k])
+    diag = 1e-10 * jnp.ones(shape)
+    ups, los = [], []
+    for a, t in enumerate(tf):
+        tp = shift_plus(t, a, lead=0)
+        ups.append(-t)
+        los.append(-tp)
+        diag = diag + t + tp
+    st = ScalarStencil(diag=diag, upper=tuple(ups), lower=tuple(los))
+
+    x_true = jnp.asarray(rng.standard_normal(shape))
+    b = st.matvec(x_true)
+    rates = {}
+    for name, cfg in [("full", GMGConfig()),
+                      ("semi", GMGConfig(semicoarsen_z=True))]:
+        state = gmg_setup(st, cfg)
+        x = jnp.zeros(shape)
+        n0 = float(jnp.linalg.norm(b.ravel()))
+        n = n0
+        for i in range(15):
+            r = b - st.matvec(x)
+            x = x + gmg_apply(state, r, cfg)
+            n = float(jnp.linalg.norm((b - st.matvec(x)).ravel()))
+            if n < 1e-10 * n0:
+                break
+        rates[name] = (n / n0) ** (1.0 / (i + 1))
+    assert rates["full"] < 0.6, rates
+    assert rates["semi"] < 0.6, rates

@@ -135,3 +135,37 @@ def test_dt_retry_on_divergence():
     assert sum(r.retries for r in res.records) >= 1, "expected at least one cutback"
     s = np.asarray(res.u[2])
     assert s.min() >= -1e-6 and s.max() <= 1.0 + 1e-6
+
+
+def test_cptr_beats_cpr_thermally_stiff():
+    """[P2]'s motivation: with a strong heat source and large dt the
+    temperature block is parabolic/advective and needs its own multigrid —
+    pressure-only CPR degrades, CPTR does not."""
+    from thermalporous_tpu.physics import Heater
+
+    pp = PhysicalParams()
+    n = 48
+    g = Grid(shape=(n, n), spacing=(5.0, 5.0), thickness=10.0)
+    rng = np.random.default_rng(0)
+    k = 1e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.5e7, T_inj=450.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    heaters = [Heater(cells=tuple((n // 2, j) for j in range(6, n - 6)), power=3e6)]
+    data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells, heaters=heaters)
+    model = SinglePhaseModel(g, pp)
+
+    counts = {}
+    for pc in ("cpr", "cptr"):
+        sim = Simulator(model, data, precond=pc,
+                        newton_cfg=NewtonConfig(ksp_maxiter=300))
+        u = model.initial_state(data)
+        tk = tn = 0
+        for _ in range(3):
+            u, st = sim.step(u, 1.0e5)
+            assert bool(st.converged), pc
+            tk += int(st.ksp_iters)
+            tn += int(st.iters)
+        counts[pc] = tk / tn
+    assert counts["cptr"] < 0.8 * counts["cpr"], counts

@@ -59,6 +59,10 @@ class GMGConfig:
     # fuse smoother/matvec into Pallas kernels (TPU only; whole-level-in-VMEM
     # with automatic fallback for oversized levels)
     use_pallas: bool = False
+    # semicoarsening: never coarsen the LAST grid axis (3D z) while other
+    # axes remain coarsenable — the classic fix for strong vertical coupling
+    # from thin, high-transmissibility layers (SPE10: dz ≈ dx/10)
+    semicoarsen_z: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -71,13 +75,13 @@ class GMGState:
     coarse_inv: jax.Array  # dense inverse of the coarsest operator
 
 
-def _coarse_shape(shape: tuple[int, ...]) -> tuple[int, ...]:
-    return tuple((n + 1) // 2 for n in shape)
-
-
-def _blocksum(x: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
-    """Sum over 2-cell blocks per axis (ragged tail zero-padded)."""
+def _blocksum(
+    x: jax.Array, fine_shape: tuple[int, ...], factors: tuple[int, ...] | None = None
+) -> jax.Array:
+    """Sum over 2-cell blocks on factor-2 axes (ragged tail zero-padded)."""
     for axis in range(len(fine_shape)):
+        if factors is not None and factors[axis] == 1:
+            continue
         n = x.shape[axis]
         if n % 2 == 1:
             pad = [(0, 0)] * x.ndim
@@ -89,9 +93,13 @@ def _blocksum(x: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
     return x
 
 
-def _prolong(e: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
+def _prolong(
+    e: jax.Array, fine_shape: tuple[int, ...], factors: tuple[int, ...] | None = None
+) -> jax.Array:
     """Piecewise-constant injection back to the fine grid."""
     for axis in range(len(fine_shape)):
+        if factors is not None and factors[axis] == 1:
+            continue
         e = jnp.repeat(e, 2, axis=axis)
         n = fine_shape[axis]
         if e.shape[axis] != n:
@@ -99,15 +107,22 @@ def _prolong(e: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
     return e
 
 
-def galerkin_coarsen(st: ScalarStencil) -> ScalarStencil:
+def galerkin_coarsen(
+    st: ScalarStencil, factors: tuple[int, ...] | None = None
+) -> ScalarStencil:
     """A_c = R·A·P with summation restriction / injection prolongation.
 
-    Cell-centric form: a fine face along axis a is interior to a coarse cell
-    iff its lower cell has an even a-index; such couplings fold into the
-    coarse diagonal, the rest into the coarse off-diagonals.
+    ``factors[a] ∈ {1, 2}`` selects per-axis coarsening (semicoarsening
+    skips the strongly-coupled axis — SPE10's thin-cell vertical direction).
+    Cell-centric form: a fine face along a factor-2 axis is interior to a
+    coarse cell iff its lower cell has an even a-index; such couplings fold
+    into the coarse diagonal, the rest into the coarse off-diagonals.
+    Factor-1 axes keep all their couplings as off-diagonals.
     """
     shape = st.grid_shape
     dim = len(shape)
+    if factors is None:
+        factors = (2,) * dim
 
     def axis_mask(axis: int, even: bool) -> jax.Array:
         idx = jnp.arange(shape[axis])
@@ -118,17 +133,30 @@ def galerkin_coarsen(st: ScalarStencil) -> ScalarStencil:
 
     d = st.diag
     for a in range(dim):
-        d = d + st.upper[a] * axis_mask(a, even=True)
-        d = d + st.lower[a] * axis_mask(a, even=False)
+        if factors[a] == 2:
+            d = d + st.upper[a] * axis_mask(a, even=True)
+            d = d + st.lower[a] * axis_mask(a, even=False)
 
-    coarse_d = _blocksum(d, shape)
-    coarse_up = tuple(
-        _blocksum(st.upper[a] * axis_mask(a, even=False), shape) for a in range(dim)
-    )
-    coarse_lo = tuple(
-        _blocksum(st.lower[a] * axis_mask(a, even=True), shape) for a in range(dim)
-    )
-    return ScalarStencil(diag=coarse_d, upper=coarse_up, lower=coarse_lo)
+    bs = lambda x: _blocksum(x, shape, factors)
+    coarse_d = bs(d)
+    coarse_up, coarse_lo = [], []
+    for a in range(dim):
+        if factors[a] == 2:
+            coarse_up.append(bs(st.upper[a] * axis_mask(a, even=False)))
+            coarse_lo.append(bs(st.lower[a] * axis_mask(a, even=True)))
+        else:
+            coarse_up.append(bs(st.upper[a]))
+            coarse_lo.append(bs(st.lower[a]))
+    return ScalarStencil(diag=coarse_d, upper=tuple(coarse_up), lower=tuple(coarse_lo))
+
+
+def _level_factors(shape: tuple[int, ...], cfg: GMGConfig) -> tuple[int, ...]:
+    factors = [2 if n > 1 else 1 for n in shape]
+    if cfg.semicoarsen_z and len(shape) == 3 and any(
+        n > 1 for n in shape[:2]
+    ):
+        factors[2] = 1
+    return tuple(factors)
 
 
 def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
@@ -139,7 +167,11 @@ def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
         and len(stencils) < cfg.max_levels
         and any(n > 1 for n in stencils[-1].grid_shape)
     ):
-        stencils.append(galerkin_coarsen(stencils[-1]))
+        stencils.append(
+            galerkin_coarsen(
+                stencils[-1], _level_factors(stencils[-1].grid_shape, cfg)
+            )
+        )
 
     lam_max = tuple(gershgorin_lambda_max(s) for s in stencils[:-1])
     # Dense inverse, not an LU: the K-cycle visits the coarsest level many
@@ -223,11 +255,15 @@ def _v_cycle(state: GMGState, level: int, b: jax.Array, cfg: GMGConfig) -> jax.A
 
     st = state.stencils[level]
     lam = state.lam_max[level]
+    # per-axis coarsening factors are implied by the (static) level shapes
+    fine = st.grid_shape
+    coarse = state.stencils[level + 1].grid_shape
+    factors = tuple(2 if c < f else 1 for f, c in zip(fine, coarse))
     x = _smooth(st, lam, b, None, cfg)
     r = b - _mv(st, x, cfg)
-    rc = _blocksum(r, st.grid_shape)
+    rc = _blocksum(r, fine, factors)
     ec = _coarse_correction(state, level + 1, rc, cfg)
-    x = x + _prolong(ec, st.grid_shape)
+    x = x + _prolong(ec, fine, factors)
     return _smooth(st, lam, b, x, cfg)
 
 
