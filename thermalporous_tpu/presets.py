@@ -175,12 +175,49 @@ def tp_spe10_3d(nx: int = 60, ny: int = 110, nz: int = 16, seed: int = 2020) -> 
     )
 
 
+def tp_spe10_full(seed: int = 2020) -> Case:
+    """Full SPE10-size problem: 60×220×85 = 1.122M cells (3.37M dof),
+    two-phase thermal — the reference papers' largest demonstrated problem
+    ([P2], run there on O(10–100) MPI cores).  Round-1 measured on ONE TPU
+    v5e chip in f32: ~850 ms/step, 3 Newton/step, ~27 FGMRES/Newton.
+    """
+    nx, ny, nz = 60, 220, 85
+    pp = PhysicalParams()
+    fields = synthetic_spe10(seed=seed)
+    g = Grid(shape=(nx, ny, nz), spacing=SPE10_SPACING_M, gravity=9.81,
+             depth_top=3600.0 * 0.3048)
+    wells = [
+        Well(cells=tuple((nx // 2, ny // 2, iz) for iz in range(nz)),
+             control="bhp", p_bh=4.0e7, T_inj=420.0, name="INJ"),
+    ] + [
+        Well(cells=tuple((i, j, iz) for iz in range(nz)),
+             control="bhp", p_bh=1.0e7, name=f"P_{i}_{j}")
+        for i, j in [(2, 2), (nx - 3, 2), (2, ny - 3), (nx - 3, ny - 3)]
+    ]
+    data = make_problem_data(
+        g, pp, kx=fields.kx, ky=fields.ky, kz=fields.kz, phi=fields.phi,
+        wells=wells,
+    )
+    return Case(
+        well_masks=per_well_masks(g, wells),
+        name="tp_spe10_full",
+        description="FULL SPE10-size two-phase thermal (60x220x85, 3.37M dof)",
+        model=TwoPhaseModel(g, pp, s_init=0.15),
+        data=data,
+        time_cfg=TimeConfig(dt_init=300.0, dt_max=2 * 86400.0),
+        newton_cfg=NewtonConfig(atol=3e-5, ksp_maxiter=60, max_iters=16,
+                                pc_lag="step"),
+        t_end=30 * 86400.0,
+    )
+
+
 PRESETS = {
     "sp_hot_injection_2d": sp_hot_injection_2d,
     "sp_spe10_layer_2d": sp_spe10_layer_2d,
     "sp_geothermal_3d": sp_geothermal_3d,
     "tp_thermal_2d": tp_thermal_2d,
     "tp_spe10_3d": tp_spe10_3d,
+    "tp_spe10_full": tp_spe10_full,
 }
 
 # static descriptions (listing cases must not construct their fields)
@@ -190,6 +227,7 @@ CASE_DESCRIPTIONS = {
     "sp_geothermal_3d": "3D single-phase geothermal box (64x64x32), gravity + heaters",
     "tp_thermal_2d": "2D two-phase dead-oil thermal displacement (60x60)",
     "tp_spe10_3d": "3D two-phase SPE10-subset thermal flood (60x110x16)",
+    "tp_spe10_full": "FULL SPE10-size two-phase thermal (60x220x85, 3.37M dof)",
 }
 
 
