@@ -139,3 +139,32 @@ def test_cli_end_to_end(tmp_path):
     assert recs and all(r["residual_norm"] < r["residual_norm0"] for r in recs)
     cks = os.listdir(tmp_path / "ck")
     assert cks, "no checkpoints written"
+
+
+def test_resume_continues_trajectory_exactly(tmp_path):
+    """A run interrupted at a checkpoint and resumed reproduces the
+    uninterrupted run bit-exactly (state, clock, and Δt controller)."""
+    import numpy as np
+
+    from tests.test_newton_cptr import _sp_case
+    from thermalporous_tpu.io import load_checkpoint
+    from thermalporous_tpu.solve import Simulator, TimeConfig
+
+    model, data = _sp_case(n=10)
+    tc = TimeConfig(dt_init=600.0, growth=1.7)
+    t_end = 40000.0
+
+    sim = Simulator(model, data, precond="cptr", time_cfg=tc)
+    full = sim.run(t_end=t_end)
+
+    # interrupted run: stop after 3 steps, checkpoint, resume to t_end
+    mgr = CheckpointManager(str(tmp_path), every=3, keep=1)
+    part = sim.run(t_end=t_end, max_steps=3, callback=mgr)
+    u0, t0, dt0, step0, _ = load_checkpoint(mgr.latest())
+    resumed = sim.run(t_end=t_end, u0=u0, t0=t0, dt0=dt0, step0=step0)
+
+    assert resumed.t == full.t
+    np.testing.assert_array_equal(np.asarray(resumed.u), np.asarray(full.u))
+    full_dts = [r.dt for r in full.records]
+    resumed_dts = [r.dt for r in part.records] + [r.dt for r in resumed.records]
+    np.testing.assert_allclose(resumed_dts, full_dts)

@@ -55,7 +55,10 @@ class CheckpointManager:
         if step % self.every:
             return
         path = os.path.join(self.directory, f"{self.name}_{step:07d}.npz")
-        save_checkpoint(path, u, t, record.dt, step)
+        # saving the controller's NEXT dt makes a resumed run continue the
+        # uninterrupted trajectory exactly
+        dt = record.next_dt or record.dt
+        save_checkpoint(path, u, t, dt, step)
         self._written.append(path)
         while len(self._written) > self.keep:
             old = self._written.pop(0)

@@ -103,6 +103,7 @@ class StepRecord:
     residual_norm0: float
     residual_norm: float
     wall_s: float
+    next_dt: float = 0.0  # controller's Δt for the FOLLOWING step (resume)
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -196,22 +197,24 @@ class Simulator:
                 residual_norm=float(stats.norm),
                 wall_s=time.perf_counter() - step_start,
             )
+            # Δt policy for the next step (applied before callbacks so
+            # checkpoints capture the controller state for exact resume)
+            if rec.newton_iters < tc.grow_below:
+                dt = min(dt * tc.growth, tc.dt_max)
+            elif rec.newton_iters > tc.shrink_above:
+                dt = max(dt * tc.cutback, tc.dt_min)
+            rec.next_dt = dt
+
             records.append(rec)
             u = u_new
             if verbose:
                 print(
-                    f"step {step_idx:4d}  t={t:.4e}  dt={dt:.3e}  "
+                    f"step {step_idx:4d}  t={t:.4e}  dt={rec.dt:.3e}  "
                     f"newton={rec.newton_iters}  ksp={rec.ksp_iters}  "
                     f"retries={retries}"
                 )
             if callback is not None:
                 callback(step_idx, t, u, rec)
-
-            # Δt policy for the next step
-            if rec.newton_iters < tc.grow_below:
-                dt = min(dt * tc.growth, tc.dt_max)
-            elif rec.newton_iters > tc.shrink_above:
-                dt = max(dt * tc.cutback, tc.dt_min)
 
         return SimResult(
             u=u,
