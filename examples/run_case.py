@@ -40,6 +40,11 @@ def main():
                    help="fused Pallas residual/JVP kernels (TPU, 2D cases)")
     p.add_argument("--pallas-gmg", action="store_true",
                    help="fused Pallas multigrid smoothers (TPU)")
+    p.add_argument("--decoupling", default=None,
+                   choices=[None, "qimpes", "timpes", "abf"],
+                   help="CPR/CPTR decoupling variant (ablations)")
+    p.add_argument("--cycle", default=None, choices=[None, "v", "w", "k"],
+                   help="multigrid cycle type")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
 
@@ -67,10 +72,17 @@ def main():
           f"{case.model.nc} unknowns/cell, precond={args.precond or case.precond}")
 
     pc_cfg = None
-    if args.pallas_gmg:
+    if args.pallas_gmg or args.decoupling or args.cycle:
         from thermalporous_tpu.precond import CPRConfig, GMGConfig
 
-        pc_cfg = CPRConfig(gmg=GMGConfig(use_pallas=True))
+        gmg = GMGConfig(
+            use_pallas=args.pallas_gmg,
+            cycle_type=args.cycle or GMGConfig().cycle_type,
+        )
+        pc_cfg = CPRConfig(
+            decoupling=args.decoupling or CPRConfig().decoupling,
+            gmg=gmg,
+        )
     sim = Simulator(
         case.model,
         case.data,
