@@ -68,15 +68,23 @@ def main():
     jax.block_until_ready(u)
     assert bool(stats.converged)
 
-    # sustained adaptive-style workload
+    # sustained adaptive-style workload (with the controller's cutback so a
+    # hard step degrades the number instead of killing the artifact)
     nsteps = 8
     total_newton = 0
     t0 = time.perf_counter()
     for _ in range(nsteps):
         dt *= 1.5
-        u, stats = step(u, jnp.asarray(dt, dtype), data)
-        jax.block_until_ready(u)
-        assert bool(stats.converged), "benchmark step did not converge"
+        u_new, stats = step(u, jnp.asarray(dt, dtype), data)
+        jax.block_until_ready(u_new)
+        retries = 0
+        while not bool(stats.converged) and retries < 4:
+            dt *= 0.5
+            retries += 1
+            u_new, stats = step(u, jnp.asarray(dt, dtype), data)
+            jax.block_until_ready(u_new)
+        assert bool(stats.converged), "benchmark step did not converge after cutbacks"
+        u = u_new
         total_newton += int(stats.iters)
     wall = time.perf_counter() - t0
 
