@@ -180,3 +180,29 @@ def test_semicoarsening_converges_anisotropic(rng):
         rates[name] = (n / n0) ** (1.0 / (i + 1))
     assert rates["full"] < 0.6, rates
     assert rates["semi"] < 0.6, rates
+
+
+def test_rbgs_smoother_and_gmg(rng):
+    """Red-black Gauss-Seidel: reduces residual standalone and works as the
+    multigrid smoother (option 'rbgs'; ~7.1 vs 7.9 iters/Newton vs Chebyshev
+    on the SPE10 layer with Quasi-IMPES)."""
+    from thermalporous_tpu.precond.chebyshev import red_black_gauss_seidel
+
+    st = poisson_stencil((24, 24), shift=1e-2)
+    x_true = jnp.asarray(rng.standard_normal((24, 24)))
+    b = st.matvec(x_true)
+    x = red_black_gauss_seidel(st, b, sweeps=4)
+    assert float(jnp.linalg.norm((b - st.matvec(x)).ravel())) < 0.3 * float(
+        jnp.linalg.norm(b.ravel())
+    )
+
+    cfg = GMGConfig(smoother="rbgs")
+    state = gmg_setup(st, cfg)
+    x = jnp.zeros((24, 24))
+    n0 = float(jnp.linalg.norm(b.ravel()))
+    for _ in range(25):
+        x = x + gmg_apply(state, b - st.matvec(x), cfg)
+        n = float(jnp.linalg.norm((b - st.matvec(x)).ravel()))
+        if n < 1e-9 * n0:
+            break
+    assert n < 1e-7 * n0

@@ -84,3 +84,39 @@ def weighted_jacobi(
         return x + inv_diag * (b - st.matvec(x))
 
     return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def _checkerboard(shape, dtype) -> jax.Array:
+    """Parity mask: 1.0 on 'red' cells (even index sum)."""
+    parity = jnp.zeros((), jnp.int32)
+    for a, n in enumerate(shape):
+        view = [1] * len(shape)
+        view[a] = n
+        parity = parity + jnp.arange(n, dtype=jnp.int32).reshape(view)
+    return (parity % 2 == 0).astype(dtype)
+
+
+def red_black_gauss_seidel(
+    st: ScalarStencil,
+    b: jax.Array,
+    x: jax.Array | None = None,
+    sweeps: int = 1,
+) -> jax.Array:
+    """Red-black Gauss–Seidel sweeps — the TPU-parallel Gauss–Seidel.
+
+    A 7-point stencil is exactly 2-colorable, so each color's update is an
+    independent masked Jacobi step using the OTHER color's fresh values:
+    two full-grid VPU passes per sweep, sequential-GS strength without the
+    sequential dependency (the reference's PETSc SOR role — SURVEY.md §2.15).
+    """
+    if x is None:
+        x = jnp.zeros_like(b)
+    red = _checkerboard(st.grid_shape, b.dtype)
+    black = 1.0 - red
+    inv_diag = 1.0 / st.diag
+
+    def body(_, x):
+        x = x + red * inv_diag * (b - st.matvec(x))
+        return x + black * inv_diag * (b - st.matvec(x))
+
+    return jax.lax.fori_loop(0, sweeps, body, x)

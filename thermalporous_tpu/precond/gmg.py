@@ -33,6 +33,7 @@ from thermalporous_tpu.core.stencil import ScalarStencil
 from thermalporous_tpu.precond.chebyshev import (
     chebyshev,
     gershgorin_lambda_max,
+    red_black_gauss_seidel,
     weighted_jacobi,
 )
 
@@ -41,7 +42,7 @@ from thermalporous_tpu.precond.chebyshev import (
 class GMGConfig:
     """Static multigrid configuration."""
 
-    smoother: str = "chebyshev"       # "chebyshev" | "jacobi"
+    smoother: str = "chebyshev"       # "chebyshev" | "jacobi" | "rbgs"
     degree: int = 2                   # smoothing steps pre and post
     lam_min_frac: float = 0.3         # Chebyshev smoothing interval lower end
     jacobi_omega: float = 0.8
@@ -205,6 +206,8 @@ def _smooth(st, lam, b, x, cfg: GMGConfig):
         return chebyshev(
             st, b, x, degree=cfg.degree, lam_max=lam, lam_min_frac=cfg.lam_min_frac
         )
+    if cfg.smoother == "rbgs":
+        return red_black_gauss_seidel(st, b, x, sweeps=cfg.degree)
     return weighted_jacobi(st, b, x, sweeps=cfg.degree, omega=cfg.jacobi_omega)
 
 
