@@ -1,6 +1,7 @@
 from thermalporous_tpu.precond.chebyshev import (
     chebyshev,
     gershgorin_lambda_max,
+    red_black_gauss_seidel,
     weighted_jacobi,
 )
 from thermalporous_tpu.precond.cpr import (
@@ -21,6 +22,7 @@ from thermalporous_tpu.precond.gmg import (
 __all__ = [
     "chebyshev",
     "gershgorin_lambda_max",
+    "red_black_gauss_seidel",
     "weighted_jacobi",
     "CPRConfig",
     "CPRState",
