@@ -34,12 +34,16 @@ def _edge(x, spatial_axis, lead, first: bool):
     return jax.lax.slice_in_dim(x, *sl, axis=axis)
 
 
-def _exchange(x, axis_name, spatial_axis, lead, from_right: bool):
+def _exchange(x, axis_name, spatial_axis, lead, from_right: bool, fill="edge"):
     """Ghost slice from the +axis (from_right) or −axis neighbour.
 
-    Blocks with no neighbour in that direction receive their own edge slice
-    instead (edge semantics; the zero boundary transmissibility kills the
-    phantom flux, and edge values keep property correlations finite).
+    Blocks with no neighbour in that direction receive ``fill``:
+    - "edge": their own edge slice — correct for STATE ghosts (keeps property
+      correlations finite; the zero boundary transmissibility kills the flux);
+    - "zero": zeros — required for TRANSMISSIBILITY ghosts, so a phantom
+      boundary face can never carry flux even when the ghost state differs
+      from the edge state (e.g. gravity ddepth ≠ 0 if a gravity-bearing axis
+      is ever decomposed).
     """
     idx = jax.lax.axis_index(axis_name)
     size = jax.lax.axis_size(axis_name)
@@ -54,7 +58,8 @@ def _exchange(x, axis_name, spatial_axis, lead, from_right: bool):
         missing = idx == 0
         own = _edge(x, spatial_axis, lead, first=True)
     recv = jax.lax.ppermute(send, axis_name, perm)           # zeros if unpaired
-    return jnp.where(missing, own, recv)
+    filler = jnp.zeros_like(own) if fill == "zero" else own
+    return jnp.where(missing, filler, recv)
 
 
 def make_halo_residual(
@@ -83,8 +88,8 @@ def make_halo_residual(
                 # last face transmissibilities
                 u_r = _exchange(u, name, a, 1, from_right=True)
                 u_l = _exchange(u, name, a, 1, from_right=False)
-                tg_l = _exchange(data.tgeo[a], name, a, 0, from_right=False)
-                tc_l = _exchange(data.tcond[a], name, a, 0, from_right=False)
+                tg_l = _exchange(data.tgeo[a], name, a, 0, from_right=False, fill="zero")
+                tc_l = _exchange(data.tcond[a], name, a, 0, from_right=False, fill="zero")
 
                 axis = 1 + a
                 u_ext = jnp.concatenate([u_l, u, u_r], axis=axis)

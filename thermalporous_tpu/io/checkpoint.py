@@ -8,6 +8,7 @@ a killed run resumes bit-identically.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -48,8 +49,12 @@ class CheckpointManager:
         self.every = every
         self.keep = keep
         self.name = name
-        self._written: list[str] = []
         os.makedirs(directory, exist_ok=True)
+        # seed retention from checkpoints already on disk, so a resumed run
+        # keeps pruning the previous run's files and latest() finds them
+        self._written: list[str] = sorted(
+            glob.glob(os.path.join(directory, f"{name}_*.npz"))
+        )
 
     def __call__(self, step: int, t: float, u, record):
         if step % self.every:

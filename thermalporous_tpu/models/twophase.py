@@ -144,7 +144,15 @@ class TwoPhaseModel(ThermalModelBase):
             s0 * rho_w * pp.cp_w + (1.0 - s0) * rho_o * pp.cp_o
         )
         energy = vol * cap * t0 / dt
-        # well-cell normalization by total throughput (see singlephase note)
+        # well-cell normalization by total throughput (see singlephase note).
+        # The water term INTENTIONALLY uses endpoint (fully-mobile) water
+        # mobility rather than krw(s0): well cells include injectors, where
+        # injected water enters at endpoint mobility regardless of the cell's
+        # s0, and a throughput SCALE should bound the achievable rate.  Using
+        # krw(s0) here was tried and rejected: it upweights well cells in the
+        # relative convergence norm, which makes Newton exit earlier and
+        # measurably degrades the discrete well/reservoir mass balance
+        # (tests/test_wells.py::test_mass_balance_reservoir_vs_wells).
         lam_tot = rho_w / pp.mu_w(t0) + rho_o * rp.kro(s0) / pp.mu_o(t0)
         q_char = (
             w.wi * lam_tot * (jnp.abs(w.pbh - p0) + 0.01 * jnp.abs(p0))

@@ -73,6 +73,12 @@ def peaceman_well_index(
     a = math.sqrt(ky / kx)
     b = math.sqrt(kx / ky)
     r_e = 0.28 * math.sqrt(a * dx * dx + b * dy * dy) / (a**0.5 + b**0.5)
+    if r_e <= r_w:
+        raise ValueError(
+            f"Peaceman equivalent radius r_e={r_e:.4g} m <= wellbore radius "
+            f"r_w={r_w:.4g} m (cell {dx}x{dy} m too fine for this r_w); "
+            "WI would be negative/singular"
+        )
     return 2.0 * math.pi * math.sqrt(kx * ky) * dz / math.log(r_e / r_w)
 
 
@@ -104,7 +110,7 @@ def build_well_fields(
     """
     shape = grid.shape
     wi = np.zeros(shape)
-    pbh = np.zeros(shape)
+    wipbh = np.zeros(shape)  # Σ WI_i·p_bh,i, folded to a WI-weighted BHP below
     tinj = np.zeros(shape)
     has_tinj = np.zeros(shape)
     qrate = np.zeros(shape)
@@ -121,8 +127,11 @@ def build_well_fields(
                     raise ValueError("BHP wells need permeability fields for WI")
                 kx_c = float(np.asarray(kx)[idx])
                 ky_c = float(np.asarray(ky)[idx]) if ky is not None else kx_c
-                wi[idx] += peaceman_well_index(kx_c, ky_c, dx, dy, dz, w.radius)
-                pbh[idx] = w.p_bh
+                wi_c = peaceman_well_index(kx_c, ky_c, dx, dy, dz, w.radius)
+                wi[idx] += wi_c
+                # WI-weighted BHP: Σ WI_i·(p_bh,i − p) ≡ (Σ WI_i)·(p̄_bh − p)
+                # with p̄_bh = Σ WI_i·p_bh,i / Σ WI_i — exact for co-located wells
+                wipbh[idx] += wi_c * w.p_bh
             elif w.control == "rate":
                 qrate[idx] += w.rate / len(w.cells)
             else:
@@ -135,6 +144,8 @@ def build_well_fields(
         for cell in h.cells:
             idx = tuple(int(i) for i in cell)
             qheat[idx] += h.power / len(h.cells)
+
+    pbh = np.divide(wipbh, wi, out=np.zeros_like(wipbh), where=wi > 0)
 
     as_j = lambda a: jnp.asarray(a, dtype=dtype)
     return WellFields(

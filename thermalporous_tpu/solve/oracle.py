@@ -45,13 +45,23 @@ def dense_newton_step(
         jac = np.asarray(jac).reshape(n, n)
         dx = np.linalg.solve(jac, -f.reshape(n)).reshape(shape)
         alpha = 1.0
+        accepted = False
         for _ in range(max_backtracks):
             u_try = u + alpha * dx
             f_try = res(u_try)
             n_try = np.linalg.norm(f_try)
             if np.isfinite(n_try) and n_try <= (1.0 - 1e-4 * alpha) * nrm:
+                accepted = True
                 break
             alpha *= 0.5
+        if not accepted:
+            # the oracle is the parity gate: never adopt a non-decreasing
+            # (possibly non-finite) iterate silently — mirror newton_solve's
+            # failed flag by raising here
+            raise RuntimeError(
+                f"oracle line search exhausted {max_backtracks} backtracks: "
+                f"|F|={nrm:.3e}, best try |F|={n_try:.3e}"
+            )
         u, f = u_try, f_try
     else:
         raise RuntimeError(f"oracle Newton did not converge: |F|={nrm:.3e}")
