@@ -45,20 +45,24 @@ def test_pallas_fallback_large(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(st.matvec(v)), rtol=1e-12)
 
 
-def _fused_case(model_cls):
+def _fused_case(model_cls, shape=(64, 64)):
     from thermalporous_tpu.core import Grid
     from thermalporous_tpu.models import make_problem_data
     from thermalporous_tpu.physics import PhysicalParams, Well
 
     pp = PhysicalParams()
-    n = 64
-    g = Grid(shape=(n, n), spacing=(5.0, 5.0), thickness=10.0)
+    dim = len(shape)
+    g = Grid(shape=shape, spacing=tuple(5.0 for _ in shape),
+             thickness=10.0 if dim == 2 else None,
+             gravity=9.81 if dim == 3 else 0.0)
     rng = np.random.default_rng(0)
     k = 2e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    corner = tuple(n - 1 for n in shape)
     wells = [
-        Well(cells=((0, 0),), control="bhp", p_bh=4.0e7, T_inj=420.0),
-        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
-        Well(cells=((5, 5),), control="rate", rate=-0.5),
+        Well(cells=(tuple(0 for _ in shape),), control="bhp", p_bh=4.0e7,
+             T_inj=420.0),
+        Well(cells=(corner,), control="bhp", p_bh=1.0e7),
+        Well(cells=(tuple(2 for _ in shape),), control="rate", rate=-0.5),
     ]
     data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells)
     model = model_cls(g, pp)
@@ -69,8 +73,11 @@ def _fused_case(model_cls):
     return model, data, u0, u, v
 
 
-@pytest.mark.parametrize("model_name", ["sp", "tp"])
-def test_fused_residual_and_jvp_match(model_name):
+@pytest.mark.parametrize("model_name,shape", [
+    ("sp", (64, 64)), ("tp", (64, 64)),
+    ("sp", (12, 16, 8)), ("tp", (12, 16, 8)),
+])
+def test_fused_residual_and_jvp_match(model_name, shape):
     from thermalporous_tpu.kernels.residual_pallas import (
         fused_jvp,
         fused_residual,
@@ -79,7 +86,7 @@ def test_fused_residual_and_jvp_match(model_name):
     from thermalporous_tpu.models import SinglePhaseModel, TwoPhaseModel
 
     cls = SinglePhaseModel if model_name == "sp" else TwoPhaseModel
-    model, data, u0, u, v = _fused_case(cls)
+    model, data, u0, u, v = _fused_case(cls, shape)
     assert supported(model, jnp.float64)
 
     ref = model.residual(u, u0, 1200.0, data)
@@ -95,21 +102,34 @@ def test_fused_residual_and_jvp_match(model_name):
                                atol=1e-12 * scale, rtol=1e-12)
 
 
-def test_fused_fallback_3d():
+def test_fused_fallback_oversized():
+    """An over-VMEM grid is reported unsupported and falls back to jnp."""
     from thermalporous_tpu.core import Grid
-    from thermalporous_tpu.kernels.residual_pallas import fused_residual, supported
+    from thermalporous_tpu.kernels.residual_pallas import (
+        _tile_size,
+        fused_residual,
+        supported,
+    )
     from thermalporous_tpu.models import SinglePhaseModel, make_problem_data
     from thermalporous_tpu.physics import PhysicalParams
+
+    # a 3D grid whose single x-slab (channels × ny × nz) exceeds the VMEM
+    # budget at any tile size → unsupported
+    assert _tile_size((7, 2048, 512), channels=19, itemsize=8) is None
 
     pp = PhysicalParams()
     g = Grid(shape=(4, 4, 4), spacing=(1.0, 1.0, 1.0))
     data = make_problem_data(g, pp, kx=1e-13)
     model = SinglePhaseModel(g, pp)
-    assert not supported(model, jnp.float64)
-    u = model.initial_state(data)
-    out = fused_residual(model, u, u, 100.0, data)  # silently uses jnp path
-    np.testing.assert_allclose(np.asarray(out),
-                               np.asarray(model.residual(u, u, 100.0, data)))
+    assert supported(model, jnp.float64)  # tiny 3D grids are now fused
+    u0 = model.initial_state(data)
+    u = u0 + 1e5 * jnp.asarray(
+        np.random.default_rng(3).standard_normal(u0.shape))
+    ref = np.asarray(model.residual(u, u0, 100.0, data))
+    out = fused_residual(model, u, u0, 100.0, data, interpret=True)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-12 * scale,
+                               rtol=1e-12)
 
 
 def test_band_matvec_and_chebyshev_match(rng, monkeypatch):
@@ -133,3 +153,46 @@ def test_band_matvec_and_chebyshev_match(rng, monkeypatch):
         got = sp.chebyshev_smooth(st, b, x0, lam, degree=degree, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape,nc", [((16, 16), 2), ((16, 16), 3),
+                                      ((13, 7), 3), ((8, 16, 8), 3)])
+def test_pallas_block_matvec_matches(shape, nc, rng):
+    """Fused block 7-point matvec (the stencil Krylov operator) == jnp."""
+    from thermalporous_tpu.core.stencil import BlockStencil
+    from thermalporous_tpu.kernels import block_matvec
+
+    dim = len(shape)
+    blk = lambda: jnp.asarray(rng.standard_normal((nc, nc) + shape))
+    st = BlockStencil(
+        diag=blk() + 4.0 * jnp.eye(nc).reshape((nc, nc) + (1,) * dim),
+        upper=tuple(blk() for _ in range(dim)),
+        lower=tuple(blk() for _ in range(dim)),
+    )
+    v = jnp.asarray(rng.standard_normal((nc,) + shape))
+    ref = st.matvec(v)
+    out = block_matvec(st, v, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-13 * scale)
+
+
+def test_pallas_block_matvec_banded(rng, monkeypatch):
+    """Force the banded path (large 2D stencils) on a small grid."""
+    import thermalporous_tpu.kernels.stencil_pallas as sp
+    from thermalporous_tpu.core.stencil import BlockStencil
+
+    monkeypatch.setattr(sp, "fits_vmem", lambda *a, **k: False)
+    shape, nc = (64, 32), 3
+    blk = lambda: jnp.asarray(rng.standard_normal((nc, nc) + shape))
+    st = BlockStencil(
+        diag=blk() + 4.0 * jnp.eye(nc).reshape((nc, nc, 1, 1)),
+        upper=(blk(), blk()),
+        lower=(blk(), blk()),
+    )
+    v = jnp.asarray(rng.standard_normal((nc,) + shape))
+    ref = st.matvec(v)
+    out = sp.block_matvec(st, v, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-13 * scale)

@@ -1,8 +1,9 @@
 from thermalporous_tpu.kernels.stencil_pallas import (
+    block_matvec,
     chebyshev_smooth,
     fits_vmem,
     matvec,
     pack_stencil,
 )
 
-__all__ = ["chebyshev_smooth", "fits_vmem", "matvec", "pack_stencil"]
+__all__ = ["block_matvec", "chebyshev_smooth", "fits_vmem", "matvec", "pack_stencil"]

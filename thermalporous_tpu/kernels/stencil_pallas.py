@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from thermalporous_tpu.core.stencil import ScalarStencil
+from thermalporous_tpu.core.stencil import BlockStencil, ScalarStencil
 
 
 def pack_stencil(st: ScalarStencil) -> jax.Array:
@@ -113,7 +113,7 @@ def _band_call(body, packed, out_channels, nx, ny, tile_t, scalars=None,
         out_shape=jax.ShapeDtypeStruct((out_channels, nx, ny), packed.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (out_channels, tile_t, ny), lambda i: (0, i, 0),
@@ -174,6 +174,127 @@ def matvec(st: ScalarStencil, v: jax.Array, interpret: bool = False) -> jax.Arra
             return _band_call(body, data, 1, nx, ny, t, interpret=interpret)[0]
 
     return st.matvec(v)
+
+
+def pack_block_stencil(st: BlockStencil) -> jax.Array:
+    """Flatten block coefficients to ((2·dim+1)·nc², *shape) channels:
+    [diag, up_0, lo_0, up_1, lo_1, ...] × row-major (i, j) blocks."""
+    parts = [st.diag]
+    for up, lo in zip(st.upper, st.lower):
+        parts.append(up)
+        parts.append(lo)
+    stacked = jnp.stack(parts)  # (2·dim+1, nc, nc, *shape)
+    k = stacked.shape[0] * stacked.shape[1] * stacked.shape[2]
+    return stacked.reshape((k,) + st.grid_shape)
+
+
+def block_matvec(st: BlockStencil, v: jax.Array, interpret: bool = False) -> jax.Array:
+    """Fused y = A·v for a BLOCK 7-point stencil (the Newton Krylov matvec
+    when ``NewtonConfig.krylov_op == "stencil"``).
+
+    The x-shifts of ``v`` ride a manually-DMA'd halo window; the (large)
+    coefficient array uses ordinary blocked in_specs, which Pallas
+    double-buffers automatically — per-band traffic is therefore one read
+    of the coefficients plus a slightly-overlapping read of ``v``.
+    """
+    if not _pallas_available(interpret):
+        return st.matvec(v)
+    nc = st.nc
+    shape = st.grid_shape
+    dim = len(shape)
+    nco = 2 * dim + 1
+    K = nco * nc * nc
+    coef = pack_block_stencil(st).astype(v.dtype)
+
+    def apply_tile(c, vwin, h, t):
+        # c: (nco, nc, nc, t, *rest); vwin: (nc, t+2h, *rest)
+        vc = jax.lax.slice_in_dim(vwin, h, h + t, axis=1)
+        vxp = jax.lax.slice_in_dim(vwin, h + 1, h + t + 1, axis=1)
+        vxm = jax.lax.slice_in_dim(vwin, h - 1, h + t - 1, axis=1) if h > 0 else None
+        neigh = [(vxp if h > 0 else _shift_m(vc, 1),
+                  vxm if h > 0 else _shift_p(vc, 1))]
+        for a in range(1, dim):
+            neigh.append((_shift_m(vc, 1 + a), _shift_p(vc, 1 + a)))
+        rows = []
+        for i in range(nc):
+            acc = c[0, i, 0] * vc[0]
+            for j in range(1, nc):
+                acc = acc + c[0, i, j] * vc[j]
+            for a in range(dim):
+                vp, vm = neigh[a]
+                for j in range(nc):
+                    acc = acc + c[1 + 2 * a, i, j] * vp[j]
+                    acc = acc + c[2 + 2 * a, i, j] * vm[j]
+            rows.append(acc)
+        return jnp.stack(rows)
+
+    itemsize = jnp.dtype(v.dtype).itemsize
+    if fits_vmem(shape, v.dtype, n_operands=2 * K + 4 * nc):
+        def kernel(c_ref, v_ref, o_ref):
+            c = c_ref[...].reshape((nco, nc, nc) + shape)
+            vv = jnp.pad(v_ref[...], [(0, 0), (1, 1)] + [(0, 0)] * (dim - 1))
+            o_ref[...] = apply_tile(c, vv, 1, shape[0])
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(coef, v)
+
+    # banded over x: halo 8 in 2D (x is the sublane axis: DMA alignment),
+    # 1 in 3D (x is a plain leading axis)
+    h = HALO if dim == 2 else 1
+    nx = shape[0]
+    rest = math.prod(shape[1:])
+    budget = 10 * 2**20
+    tile = None
+    for t in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if nx % t:
+            continue
+        per_band = (2 * K * t + 2 * nc * (t + 2 * h) + 2 * nc * t) * rest * itemsize
+        if per_band <= budget:
+            tile = t
+            break
+    if tile is None:
+        return st.matvec(v)
+
+    vp = jnp.pad(v, [(0, 0), (h, h)] + [(0, 0)] * (dim - 1))
+
+    def kernel(c_ref, v_hbm, o_ref, vwin, sem):
+        i = pl.program_id(0)
+        t = o_ref.shape[1]
+        cp = pltpu.make_async_copy(
+            v_hbm.at[(slice(None), pl.ds(i * t, t + 2 * h))], vwin, sem
+        )
+        cp.start()
+        cp.wait()
+        c = c_ref[...].reshape((nco, nc, nc, t) + shape[1:])
+        o_ref[...] = apply_tile(c, vwin[...], h, t)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nx // tile,),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        in_specs=[
+            pl.BlockSpec((K, tile) + shape[1:],
+                         lambda i: (0, i) + (0,) * (dim - 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nc, tile) + shape[1:],
+                               lambda i: (0, i) + (0,) * (dim - 1),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nc, tile + 2 * h) + shape[1:], v.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(coef, vp)
 
 
 def chebyshev_smooth(
