@@ -32,14 +32,31 @@ class FGMRESResult:
     breakdown: jax.Array      # bool: happy/unhappy breakdown encountered
 
 
+def reduce_dtype(dtype) -> jnp.dtype:
+    """f64 for f32 inputs when x64 is live — SURVEY.md §5.8's mixed-precision
+    rule: global reductions accumulate in f64 even when the state is f32
+    (at 3M+ dof an f32 accumulation loses ~sqrt-of-N digits that the Newton
+    tolerance and the Givens residual estimate actually need)."""
+    if jax.config.x64_enabled and jnp.dtype(dtype) == jnp.float32:
+        return jnp.dtype(jnp.float64)
+    return jnp.dtype(dtype)
+
+
 def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Global dot product.  Under a sharded jit XLA lowers the reduction to
-    an ICI all-reduce — the TPU equivalent of PETSc's VecDot MPI allreduce."""
-    return jnp.vdot(a, b)
+    """Global dot product with f64 accumulation (see ``reduce_dtype``).
+    Under a sharded jit XLA lowers the reduction to an ICI all-reduce — the
+    TPU equivalent of PETSc's VecDot MPI allreduce."""
+    rd = reduce_dtype(a.dtype)
+    if rd == a.dtype:
+        return jnp.vdot(a, b)
+    return jnp.sum(a.astype(rd) * b.astype(rd)).astype(a.dtype)
 
 
 def _norm(a: jax.Array) -> jax.Array:
-    return jnp.sqrt(_dot(a, a))
+    rd = reduce_dtype(a.dtype)
+    if rd == a.dtype:
+        return jnp.sqrt(jnp.vdot(a, a))
+    return jnp.sqrt(jnp.sum(jnp.square(a.astype(rd)))).astype(a.dtype)
 
 
 def fgmres(
@@ -105,6 +122,13 @@ def fgmres(
         # over the whole basis — 4 sweeps of V instead of m+1 dependent dots
         # per iteration — and CGS2 matches MGS stability in practice.  Unused
         # basis slots are zero, so masking beyond j is exact.
+        # These batched projections stay in the COMPUTE dtype deliberately:
+        # the second CGS pass already restores orthogonality to O(eps), and
+        # upcasting the (m+1, N) contraction to emulated f64 would forfeit
+        # the f32 bandwidth it rides on.  The f64 accumulation lives in the
+        # scalar-producing _dot/_norm (beta, ||b||, h_next, Givens inputs),
+        # where it sets the convergence decision (tests/test_fgmres.py
+        # asserts f32-with-f64-reductions iteration parity with full f64).
         active = (jnp.arange(m + 1) <= j).astype(w.dtype)
 
         def orth(w):

@@ -23,7 +23,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from thermalporous_tpu.solve.fgmres import fgmres
+from thermalporous_tpu.solve.fgmres import fgmres, reduce_dtype
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,10 +39,26 @@ class NewtonConfig:
     # "every": rebuild the preconditioner each Newton iteration (the
     # reference's behavior); "step": build once from the step's initial
     # state and reuse — the common "frozen CPR" production trade: the Krylov
-    # operator stays the exact current Jacobian (matrix-free), only the
-    # preconditioner lags, costing a few extra FGMRES iterations but saving
-    # the per-iteration stencil assembly + multigrid setup.
+    # operator stays the exact current Jacobian, only the preconditioner
+    # lags, costing a few extra FGMRES iterations but saving the
+    # per-iteration multigrid setup.
     pc_lag: str = "every"
+    # Krylov operator realization — BOTH are the exact Jacobian (the TPFA
+    # residual couples each cell only to its face neighbours, so ∂R/∂u IS
+    # the block 7-point stencil; tests assert jvp/stencil/dense agreement):
+    #   "stencil": assemble the block stencil once per Newton iteration and
+    #     matvec with it — transcendental-free, bandwidth-bound; measured
+    #     ~2x faster per FGMRES iteration than re-evaluating the property
+    #     correlations inside jvp at 1024² f32, and the same assembly feeds
+    #     the preconditioner when pc_lag="every".
+    #   "jvp": matrix-free jax.jvp closure (no stencil materialization).
+    #   "stencil_pallas": like "stencil" through the fused Pallas block
+    #     matvec kernel (kernels.block_matvec; jnp fallback off-TPU).
+    #     EXPERIMENTAL: exact standalone and in interpret mode, but measured
+    #     numerically wrong on the axon TPU when the coefficients are
+    #     produced inside the enclosing Newton while_loop (FGMRES stalls at
+    #     maxiter; suspected Mosaic layout interaction) — do not default.
+    krylov_op: str = "stencil"
 
 
 @jax.tree_util.register_dataclass
@@ -80,14 +96,18 @@ def newton_solve(
         their rounding floor instead of stalling.
     """
 
+    # convergence/line-search norms accumulate in f64 under f32 state when
+    # x64 is live (SURVEY.md §5.8; see fgmres.reduce_dtype)
+    rd = reduce_dtype(u0.dtype)
     if scale is None:
         def norm(f):
-            return jnp.sqrt(jnp.vdot(f, f))
+            q = f.astype(rd)
+            return jnp.sqrt(jnp.sum(q * q)).astype(f.dtype)
         atol = cfg.atol
     else:
         def norm(f):
-            q = f / scale
-            return jnp.sqrt(jnp.vdot(q, q) / q.size)
+            q = (f / scale).astype(rd)
+            return jnp.sqrt(jnp.sum(q * q) / q.size).astype(f.dtype)
         eps = float(jnp.finfo(u0.dtype).eps)
         atol = max(cfg.atol, 50.0 * eps)
 
@@ -105,9 +125,20 @@ def newton_solve(
     def body(carry):
         u, f, nrm, k, ksp, failed = carry
 
-        pcs = frozen_pcs if cfg.pc_lag == "step" else pc_setup(assemble(u))
+        if cfg.krylov_op in ("stencil", "stencil_pallas"):
+            st = assemble(u)            # exact J; one assembly serves both
+            if cfg.krylov_op == "stencil_pallas":
+                from thermalporous_tpu.kernels import block_matvec
+
+                matvec = lambda v: block_matvec(st, v)
+            else:
+                matvec = st.matvec
+            pcs = frozen_pcs if cfg.pc_lag == "step" else pc_setup(st)
+        else:
+            matvec = jvp_at(u)
+            pcs = frozen_pcs if cfg.pc_lag == "step" else pc_setup(assemble(u))
         result = fgmres(
-            jvp_at(u),
+            matvec,
             -f,
             precond=lambda r: pc_apply(pcs, r),
             rtol=cfg.ksp_rtol,
