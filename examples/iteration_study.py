@@ -90,13 +90,25 @@ def main():
         # pressure-only CPR (measured ~8.6 vs ~14.3 iters/Newton at 80x80)
         problems.append(("heater-stiff 80x80", *stiff_case(), 1.0e5))
 
-    preconds = ["jacobi", "cpr", "cptr"]
-    print(f"{'problem':20s} " + "  ".join(f"{p:>8s}" for p in preconds)
+    from thermalporous_tpu.precond import CPRConfig
+
+    # one-stage presets (jacobi, rbgs: the ILU-analog ablations), two-stage
+    # CPR/CPTR, and [P2]'s inner-GMRES CPTR variant (3 inner iterations)
+    preconds = [
+        ("jacobi", None),
+        ("rbgs", None),
+        ("cpr", None),
+        ("cptr", None),
+        ("cptr-in3", CPRConfig(variant="cptr", inner_iters=3)),
+    ]
+    print(f"{'problem':20s} " + "  ".join(f"{p:>8s}" for p, _ in preconds)
           + "   (FGMRES iters per Newton, lower+flatter = better)")
     for name, model, data, dt in problems:
         row = []
-        for pc in preconds:
-            sim = Simulator(model, data, precond=pc,
+        for pc, pc_cfg in preconds:
+            sim = Simulator(model, data,
+                            precond="cptr" if pc.startswith("cptr") else pc,
+                            pc_cfg=pc_cfg,
                             newton_cfg=NewtonConfig(ksp_maxiter=300))
             u = model.initial_state(data)
             tot_k = tot_n = 0

@@ -69,3 +69,54 @@ def test_power_iteration():
     a = jnp.diag(jnp.asarray([1.0, -5.0, 2.0]))
     lam = power_iteration(lambda v: a @ v, (3,), iters=50)
     assert float(lam) == pytest.approx(5.0, rel=1e-3)
+
+
+def test_cptr_inner_gmres_matches_oracle():
+    """[P2]'s inner-GMRES stage-1 CPTR variant is preconditioning only."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(model, data, precond="cptr",
+                    pc_cfg=CPRConfig(inner_iters=3), newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    u, stats = sim.step(u, dts[0])
+    assert bool(stats.converged)
+    _compare_states(u, oracle_states[0])
+
+
+def test_one_stage_rbgs_preset_matches_oracle():
+    """The one-stage red-black block-GS preset (ILU-analog) solves correctly
+    and needs more Krylov iterations than CPTR (the ablation premise)."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+
+    import dataclasses
+    cfg = dataclasses.replace(TIGHT, ksp_maxiter=300)
+    sim = Simulator(model, data, precond="rbgs", newton_cfg=cfg)
+    u = model.initial_state(data)
+    u, stats = sim.step(u, dts[0])
+    assert bool(stats.converged)
+    _compare_states(u, oracle_states[0])
+
+    sim2 = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+    u2, stats2 = sim2.step(model.initial_state(data), dts[0])
+    assert int(stats2.ksp_iters) <= int(stats.ksp_iters)
+
+
+def test_krylov_op_variants_match():
+    """jvp / stencil / stencil_pallas Krylov operators give the same step."""
+    import dataclasses
+    model, data = _sp_case(n=12)
+    u0 = model.initial_state(data)
+    results = []
+    for op in ("jvp", "stencil", "stencil_pallas"):
+        cfg = dataclasses.replace(TIGHT, krylov_op=op)
+        sim = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+        u, stats = sim.step(u0, 3600.0)
+        assert bool(stats.converged), op
+        results.append((op, np.asarray(u), int(stats.iters)))
+    for op, u, iters in results[1:]:
+        assert iters == results[0][2], op
+        np.testing.assert_allclose(u[0], results[0][1][0], atol=1.0)
+        np.testing.assert_allclose(u[1], results[0][1][1], atol=1e-7)

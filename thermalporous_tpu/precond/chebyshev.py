@@ -12,7 +12,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from thermalporous_tpu.core.stencil import ScalarStencil
+from thermalporous_tpu.core.stencil import (
+    BlockStencil,
+    ScalarStencil,
+    apply_blocks,
+)
 
 
 def gershgorin_lambda_max(st: ScalarStencil) -> jax.Array:
@@ -118,5 +122,33 @@ def red_black_gauss_seidel(
     def body(_, x):
         x = x + red * inv_diag * (b - st.matvec(x))
         return x + black * inv_diag * (b - st.matvec(x))
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def block_red_black_gauss_seidel(
+    st: BlockStencil,
+    dinv: jax.Array,
+    b: jax.Array,
+    x: jax.Array | None = None,
+    sweeps: int = 1,
+) -> jax.Array:
+    """Red-black block Gauss–Seidel on a BLOCK 7-point stencil.
+
+    The block analogue of ``red_black_gauss_seidel``: each color's cells are
+    updated with exact per-cell block solves (``dinv`` = precomputed inverse
+    diagonal blocks) against the other color's fresh values.  This is the
+    faithful one-stage "ILU-analog" preset the reference's solver-parameter
+    family keeps for ablations (SURVEY.md §2.1, §2.15): sequential-GS
+    coupling strength, TPU-parallel by 2-coloring.
+    """
+    if x is None:
+        x = jnp.zeros_like(b)
+    red = _checkerboard(st.grid_shape, b.dtype)   # (*shape,), broadcasts
+    black = 1.0 - red
+
+    def body(_, x):
+        x = x + red * apply_blocks(dinv, b - st.matvec(x))
+        return x + black * apply_blocks(dinv, b - st.matvec(x))
 
     return jax.lax.fori_loop(0, sweeps, body, x)

@@ -51,6 +51,12 @@ class CPRConfig:
     #              whole stencil row (the reference's other variant)
     #   "abf"    — full diagonal-block inverse (alternate block factorization)
     decoupling: str = "qimpes"
+    # [P2] §5 option: run a few FGMRES iterations on the decoupled (p,T)
+    # subsystem in stage 1 (preconditioned by the block-triangular GMG
+    # combination) instead of a single application.  0 = single pass (the
+    # default two-stage CPTR); k>0 = k inner iterations.
+    inner_iters: int = 0
+    inner_rtol: float = 1e-2
     gmg: GMGConfig = GMGConfig()
 
 
@@ -89,6 +95,7 @@ class CPRState:
     gmg_p: GMGState                  # hierarchy on decoupled pressure block
     gmg_t: GMGState | None           # hierarchy on decoupled temperature block
     a_tp: ScalarStencil | None       # decoupled T-equation ← p-unknown coupling
+    pt: BlockStencil | None          # decoupled (p,T) 2×2 stencil (inner GMRES)
 
 
 def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
@@ -107,16 +114,30 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
     dec = stencil.scale_rows(w)         # W·A
     app = dec.scalar(0, 0)
     gmg_p = gmg_setup(app, cfg.gmg)
+    pt = None
     if cfg.variant == "cptr":
         att = dec.scalar(1, 1)
         gmg_t = gmg_setup(att, cfg.gmg)
         a_tp = dec.scalar(1, 0)
+        if cfg.inner_iters > 0:
+            pt = dec.block(slice(0, 2), slice(0, 2))
     else:
         gmg_t = None
         a_tp = None
     return CPRState(
-        stencil=stencil, dinv=dinv, w=w, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp
+        stencil=stencil, dinv=dinv, w=w, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp,
+        pt=pt,
     )
+
+
+def _stage1_pt(state: CPRState, r_pt: jax.Array, cfg: CPRConfig) -> jax.Array:
+    """Block-triangular (or -diagonal) GMG application on the (p,T) system."""
+    e_p = gmg_apply(state.gmg_p, r_pt[0], cfg.gmg)
+    r_t = r_pt[1]
+    if cfg.triangular:
+        r_t = r_t - state.a_tp.matvec(e_p)
+    e_t = gmg_apply(state.gmg_t, r_t, cfg.gmg)
+    return jnp.stack([e_p, e_t])
 
 
 def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> jax.Array:
@@ -124,14 +145,27 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
     w = apply_blocks(state.w, r)        # decoupled residual W·r
 
     # stage 1 on the elliptic block(s)
-    e_p = gmg_apply(state.gmg_p, w[0], cfg.gmg)
-    x1 = jnp.zeros_like(r).at[0].set(e_p)
     if cfg.variant == "cptr":
-        r_t = w[1]
-        if cfg.triangular:
-            r_t = r_t - state.a_tp.matvec(e_p)
-        e_t = gmg_apply(state.gmg_t, r_t, cfg.gmg)
-        x1 = x1.at[1].set(e_t)
+        r_pt = w[0:2]
+        if cfg.inner_iters > 0:
+            # [P2]'s inner-iteration option: a few FGMRES steps on the
+            # decoupled (p,T) subsystem, preconditioned by the single-pass
+            # block combination (lazy import: solve ← precond at call time)
+            from thermalporous_tpu.solve.fgmres import fgmres
+
+            e_pt = fgmres(
+                state.pt.matvec,
+                r_pt,
+                precond=lambda q: _stage1_pt(state, q, cfg),
+                rtol=cfg.inner_rtol,
+                maxiter=cfg.inner_iters,
+            ).x
+        else:
+            e_pt = _stage1_pt(state, r_pt, cfg)
+        x1 = jnp.zeros_like(r).at[0:2].set(e_pt)
+    else:
+        e_p = gmg_apply(state.gmg_p, w[0], cfg.gmg)
+        x1 = jnp.zeros_like(r).at[0].set(e_p)
 
     # stage 2: multiplicative block-Jacobi correction on the full system
     if cfg.stage2 == "block_jacobi":
@@ -145,7 +179,8 @@ def make_preconditioner(name: str, cfg: CPRConfig | None = None):
     """Return (setup, apply) closures for a named preconditioner.
 
     Names mirror the reference's solver-parameter presets (SURVEY.md §2.1):
-    "none", "jacobi" (per-cell block-Jacobi), "cpr", "cptr".
+    "none", "jacobi" (per-cell block-Jacobi), "rbgs" (one-stage red-black
+    block Gauss–Seidel, the TPU-parallel ILU-analog), "cpr", "cptr".
     """
     name = name.lower()
     if name == "none":
@@ -154,6 +189,17 @@ def make_preconditioner(name: str, cfg: CPRConfig | None = None):
         return (
             lambda st: st.diag_inverse(),
             lambda dinv, r: apply_blocks(dinv, r),
+        )
+    if name == "rbgs":
+        from thermalporous_tpu.precond.chebyshev import (
+            block_red_black_gauss_seidel,
+        )
+
+        return (
+            lambda st: (st, st.diag_inverse()),
+            lambda state, r: block_red_black_gauss_seidel(
+                state[0], state[1], r, sweeps=2
+            ),
         )
     if name in ("cpr", "cptr"):
         cfg = cfg or CPRConfig()

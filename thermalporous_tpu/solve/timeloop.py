@@ -172,6 +172,11 @@ class Simulator:
             step_start = time.perf_counter()
             while True:
                 u_new, stats = self.step(u, dt)
+                # ONE bulk transfer of the stats pytree: under the axon
+                # tunnel every scalar fetch is a ~30 ms round trip, so
+                # reading the five fields individually would dominate the
+                # step wall time
+                stats = jax.device_get(stats)
                 failed = bool(stats.failed)
                 if not failed:
                     break

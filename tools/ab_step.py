@@ -1,0 +1,113 @@
+"""A/B whole-step benchmark of solver-path variants on the bench workload.
+
+Per CLAUDE.md: per-op microbenchmarks are meaningless under axon (async
+dispatch, VMEM-resident loops) — only whole implicit steps, synced through
+the step's scalar stats, measure anything.  This runs the bench.py workload
+(1024² two-phase CPTR, f32, sustained adaptive Δt ramp) once per variant
+and reports cell-updates/s.
+
+Usage: python tools/ab_step.py [n] [nsteps] [variant ...]
+Variants: r1 (round-1 path), stencil, stencil-every, stencil-pallas,
+          jvp-fuse, stencil-gmgpallas
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VARIANTS = {
+    # name: (newton overrides, pc overrides, fuse)
+    "r1":              (dict(krylov_op="jvp"), dict(), False),
+    "jvp-fuse":        (dict(krylov_op="jvp"), dict(), True),
+    "stencil":         (dict(krylov_op="stencil"), dict(), False),
+    "stencil-every":   (dict(krylov_op="stencil", pc_lag="every"), dict(), False),
+    "stencil-pallas":  (dict(krylov_op="stencil_pallas"), dict(), False),
+    "stencil-gmgpallas": (dict(krylov_op="stencil"), dict(use_pallas=True), False),
+    "jvp-every":         (dict(krylov_op="jvp", pc_lag="every"), dict(), False),
+    "stencil-every-pallas": (dict(krylov_op="stencil_pallas", pc_lag="every"),
+                             dict(), False),
+    "stencil-every-ksp2":   (dict(krylov_op="stencil", pc_lag="every",
+                                  ksp_rtol=1e-2), dict(), False),
+    "stencil-every-v":      (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(cycle_type="v"), False),
+}
+
+
+def run_variant(name, model, data, u0, nsteps):
+    from thermalporous_tpu.precond import CPRConfig, GMGConfig
+    from thermalporous_tpu.solve import NewtonConfig, make_step_fn
+
+    newton_over, gmg_over, fuse = VARIANTS[name]
+    kw = dict(rtol=1e-4, atol=2e-5, ksp_rtol=1e-3, ksp_maxiter=40,
+              max_iters=14, pc_lag="step")
+    kw.update(newton_over)
+    cfg = NewtonConfig(**kw)
+    gkw = dict(cycle_type="k", max_coarse_cells=1024)
+    gkw.update(gmg_over)
+    pc_cfg = CPRConfig(gmg=GMGConfig(**gkw))
+    step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg, fuse=fuse))
+
+    u = u0
+    dt = 600.0
+    u, stats = step(u, jnp.asarray(dt, u0.dtype), data)
+    stats = jax.device_get(stats)  # ONE transfer (axon round trips ~30 ms)
+    assert bool(stats.converged), f"{name}: warmup diverged"
+
+    total_newton = total_ksp = 0
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        dt *= 1.5
+        u_new, stats = step(u, jnp.asarray(dt, u0.dtype), data)
+        stats = jax.device_get(stats)
+        retries = 0
+        while not bool(stats.converged) and retries < 4:
+            dt *= 0.5
+            retries += 1
+            u_new, stats = step(u, jnp.asarray(dt, u0.dtype), data)
+            stats = jax.device_get(stats)
+        assert bool(stats.converged)
+        u = u_new
+        total_newton += int(stats.iters)
+        total_ksp += int(stats.ksp_iters)
+    wall = time.perf_counter() - t0
+    ncells = u0.shape[1] * u0.shape[2]
+    cu = ncells * total_newton / wall
+    print(f"{name:20s} wall={wall:7.2f}s newton={total_newton:3d} "
+          f"ksp={total_ksp:4d} cu/s={cu:,.0f}")
+    return cu
+
+
+def main():
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    names = sys.argv[3:] or list(VARIANTS)
+
+    dtype = jnp.float32
+    pp = PhysicalParams()
+    grid = Grid(shape=(n, n), spacing=(5.0, 5.0), thickness=10.0)
+    rng = np.random.default_rng(11)
+    kx = 2e-13 * np.exp(0.5 * rng.standard_normal(grid.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=4.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(grid, pp, kx=kx, phi=0.2, wells=wells, dtype=dtype)
+    model = TwoPhaseModel(grid, pp, s_init=0.2)
+    u0 = model.initial_state(data, dtype=dtype)
+
+    print(f"# backend={jax.default_backend()} grid={n}x{n} f32 steps={nsteps}")
+    for name in names:
+        run_variant(name, model, data, u0, nsteps)
+
+
+if __name__ == "__main__":
+    main()
