@@ -2,20 +2,30 @@
 
 Metric (BASELINE.json): cell-updates per second per chip, where one "cell
 update" is one cell advanced through one Newton iteration (each Newton
-iteration evaluates the residual, assembles the block stencil, builds/uses
-the CPTR multigrid hierarchy and runs an FGMRES solve over every cell).
+iteration assembles the exact block-stencil Jacobian, rebuilds the CPTR
+multigrid hierarchy, and runs an FGMRES solve over every cell).
 
 Workload: 1024×1024 two-phase thermal flood (3.1M dof, f32), heterogeneous
-permeability, BHP injector/producer, Δt growing 1.5× per step from the
-initial transient — the sustained regime of a real adaptive run (fixed tiny
-Δt would converge in ~0 Newton iterations and measure nothing).
+permeability, BHP injector/producer, Δt doubling per step from the initial
+transient up into the hard multi-day regime — the sustained envelope of a
+real adaptive run, with the controller's cutback handling steps that
+exceed Newton's ball of convergence.
 
-``vs_baseline`` is the ratio against a self-declared PETSc-CPU-class
-reference throughput of 1.0e6 cell-updates/s: the upstream repo publishes
-no benchmark numbers (BASELINE.md — ``published: {}``), so this proxy is the
+Solver configuration (measured in tools/ab_step.py A/Bs, BASELINE.md):
+pc_lag="every" (the reference's behavior — rebuilding the preconditioner
+each Newton iteration is ~3.6x faster in wall time here than the frozen
+per-step variant, whose stalls cost 40 FGMRES iterations per Newton) and
+krylov_op="stencil" (the TPFA Jacobian IS the assembled block stencil, so
+matvecs are transcendental-free and share the assembly with the CPTR
+setup).  f64 reductions are enabled (x64 on, state stays f32).
+
+``vs_baseline`` is the ratio against a PETSc-CPU-class reference
+throughput of 1.0e6 cell-updates/s: the upstream repo publishes no
+benchmark numbers (BASELINE.md — ``published: {}``), so this proxy is the
 order of magnitude a multicore PETSc CPR/ILU run achieves on problems of
-this size; the honest tracked quantity is ``value`` itself, recorded per
-round in BENCH_r{N}.json.
+this size.  A measured single-host CPU floor for THIS code on THIS
+workload is recorded in BASELINE.md for context; the honest tracked
+quantity is ``value`` itself, recorded per round in BENCH_r{N}.json.
 
 Runs on whatever platform is default (the real TPU chip under axon).
 """
@@ -29,6 +39,14 @@ import warnings
 warnings.filterwarnings("ignore", message=".*truncated to dtype float32.*")
 
 import jax
+
+# f64 accumulation in FGMRES/Newton reductions (state stays f32); must be
+# set before the backend is touched
+try:
+    jax.config.update("jax_enable_x64", True)
+except RuntimeError:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,32 +75,36 @@ def main():
     ncells = grid.ncells
 
     cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-3, ksp_maxiter=40,
-                       max_iters=14, pc_lag="step")
+                       max_iters=14, pc_lag="every", krylov_op="stencil")
     pc_cfg = CPRConfig(gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024))
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg))
+
+    def do_step(u, dt):
+        u_new, stats = step(u, jnp.asarray(dt, dtype), data)
+        # ONE bulk stats transfer: under axon every scalar fetch is a ~30 ms
+        # round trip, so field-by-field reads would dominate the wall time
+        return u_new, jax.device_get(stats)
 
     # compile + consume the sharp initial transient
     u = model.initial_state(data, dtype=dtype)
     dt = 600.0
-    u, stats = step(u, jnp.asarray(dt, dtype), data)
-    jax.block_until_ready(u)
+    u, stats = do_step(u, dt)
     assert bool(stats.converged)
 
-    # sustained adaptive-style workload (with the controller's cutback so a
-    # hard step degrades the number instead of killing the artifact)
-    nsteps = 8
+    # sustained adaptive-style workload: Δt doubling into the multi-day
+    # regime (with the controller's cutback so a hard step degrades the
+    # number instead of killing the artifact)
+    nsteps = 10
     total_newton = 0
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        dt *= 1.5
-        u_new, stats = step(u, jnp.asarray(dt, dtype), data)
-        jax.block_until_ready(u_new)
+        dt *= 2.0
+        u_new, stats = do_step(u, dt)
         retries = 0
-        while not bool(stats.converged) and retries < 4:
+        while not bool(stats.converged) and retries < 6:
             dt *= 0.5
             retries += 1
-            u_new, stats = step(u, jnp.asarray(dt, dtype), data)
-            jax.block_until_ready(u_new)
+            u_new, stats = do_step(u, dt)
         assert bool(stats.converged), "benchmark step did not converge after cutbacks"
         u = u_new
         total_newton += int(stats.iters)

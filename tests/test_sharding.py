@@ -78,6 +78,9 @@ def test_sharded_newton_step_matches():
 
     assert bool(stats.converged)
     assert int(stats.iters) == int(stats_ref.iters)
+    # FGMRES totals too: a sharding-induced preconditioner regression that
+    # costs Krylov iterations must fail here, not just Newton parity
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
     # identical algorithm, reductions re-associated only → rounding-level diff
     np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]), atol=5.0)
     np.testing.assert_allclose(np.asarray(u_out[1]), np.asarray(u_ref[1]), atol=1e-6)
@@ -151,3 +154,43 @@ def test_halo_residual_matches_global():
         scale = float(np.abs(np.asarray(ref)).max())
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-12 * scale, rtol=1e-12)
+
+
+def test_gmg_replicated_coarse_levels_match():
+    """Mesh-threaded GMG with replicated coarse levels (SURVEY.md §5.8):
+    identical Newton/FGMRES counts and state as the unconstrained run, and
+    the coarse stencils actually come out replicated."""
+    from thermalporous_tpu.precond import CPRConfig, GMGConfig
+    from thermalporous_tpu.precond.cpr import cpr_setup
+
+    model, data = _case(SinglePhaseModel, n=32)
+    cfg = NewtonConfig(rtol=1e-9, ksp_rtol=1e-7)
+    u0 = model.initial_state(data)
+
+    sim_ref = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+    u_ref, stats_ref = sim_ref.step(u0, 3600.0)
+
+    mesh = make_grid_mesh(8)
+    pc_cfg = CPRConfig(gmg=GMGConfig(mesh=mesh, replicate_below=256))
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      pc_cfg=pc_cfg, newton_cfg=cfg)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]),
+                               atol=5.0)
+    np.testing.assert_allclose(np.asarray(u_out[1]), np.asarray(u_ref[1]),
+                               atol=1e-6)
+
+    # the threshold actually replicates: build the hierarchy under jit with
+    # sharded inputs and inspect the coarsest level's sharding
+    @jax.jit
+    def setup(u, data):
+        st = model.assemble_stencil(u, u, 3600.0, data)
+        state = cpr_setup(st, pc_cfg)
+        return state.gmg_p.stencils[-1].diag
+
+    coarse_diag = setup(shard_state(u0, mesh), shard_problem_data(data, mesh))
+    assert coarse_diag.sharding.is_fully_replicated

@@ -64,6 +64,13 @@ class GMGConfig:
     # axes remain coarsenable — the classic fix for strong vertical coupling
     # from thin, high-transmissibility layers (SPE10: dz ≈ dx/10)
     semicoarsen_z: bool = False
+    # multi-chip coarse-level strategy (SURVEY.md §5.8): levels at/below
+    # this many cells are constrained FULLY REPLICATED (one all-gather at
+    # the restriction that crosses the threshold), so deep-cycle smoothing
+    # runs collective-free instead of on degenerate one-cell-per-device
+    # shards.  Requires ``mesh``; inert when mesh is None (single chip).
+    replicate_below: int = 4096
+    mesh: object | None = None  # jax.sharding.Mesh threaded from the caller
 
 
 @jax.tree_util.register_dataclass
@@ -160,17 +167,37 @@ def _level_factors(shape: tuple[int, ...], cfg: GMGConfig) -> tuple[int, ...]:
     return tuple(factors)
 
 
+def _replicated(x: jax.Array, cfg: GMGConfig) -> jax.Array:
+    """Constrain ``x`` fully replicated over cfg.mesh (no-op without mesh)."""
+    if cfg.mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(cfg.mesh, PartitionSpec())
+    )
+
+
+def _maybe_replicate_level(st: ScalarStencil, cfg: GMGConfig) -> ScalarStencil:
+    if cfg.mesh is None or math.prod(st.grid_shape) > cfg.replicate_below:
+        return st
+    return jax.tree.map(lambda a: _replicated(a, cfg), st)
+
+
 def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
     """Build the multigrid hierarchy for one stencil (per Newton iteration)."""
-    stencils = [st]
+    stencils = [_maybe_replicate_level(st, cfg)]
     while (
         math.prod(stencils[-1].grid_shape) > cfg.max_coarse_cells
         and len(stencils) < cfg.max_levels
         and any(n > 1 for n in stencils[-1].grid_shape)
     ):
         stencils.append(
-            galerkin_coarsen(
-                stencils[-1], _level_factors(stencils[-1].grid_shape, cfg)
+            _maybe_replicate_level(
+                galerkin_coarsen(
+                    stencils[-1], _level_factors(stencils[-1].grid_shape, cfg)
+                ),
+                cfg,
             )
         )
 
@@ -265,6 +292,9 @@ def _v_cycle(state: GMGState, level: int, b: jax.Array, cfg: GMGConfig) -> jax.A
     x = _smooth(st, lam, b, None, cfg)
     r = b - _mv(st, x, cfg)
     rc = _blocksum(r, fine, factors)
+    if cfg.mesh is not None and math.prod(coarse) <= cfg.replicate_below:
+        # the all-gather that moves the cycle onto replicated coarse levels
+        rc = _replicated(rc, cfg)
     ec = _coarse_correction(state, level + 1, rc, cfg)
     x = x + _prolong(ec, fine, factors)
     return _smooth(st, lam, b, x, cfg)

@@ -83,6 +83,11 @@ def run_variant(name, model, data, u0, nsteps):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # measured CPU floor for BASELINE.md (same code, host backend)
+        sys.argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
+
     from thermalporous_tpu.core import Grid
     from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
     from thermalporous_tpu.physics import PhysicalParams, Well
