@@ -120,3 +120,16 @@ def test_krylov_op_variants_match():
         assert iters == results[0][2], op
         np.testing.assert_allclose(u[0], results[0][1][0], atol=1.0)
         np.testing.assert_allclose(u[1], results[0][1][1], atol=1e-7)
+
+
+def test_cptr_stage2_rbgs_matches_oracle():
+    """Stage-2 block-RBGS (the closer ILU analog) is preconditioning only."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(model, data, precond="cptr",
+                    pc_cfg=CPRConfig(stage2="rbgs", stage2_sweeps=2),
+                    newton_cfg=TIGHT)
+    u, stats = sim.step(model.initial_state(data), dts[0])
+    assert bool(stats.converged)
+    _compare_states(u, oracle_states[0])

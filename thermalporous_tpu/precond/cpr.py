@@ -39,7 +39,12 @@ class CPRConfig:
     """Static configuration of the two-stage preconditioner."""
 
     variant: str = "cptr"            # "cpr" | "cptr"
-    stage2: str = "block_jacobi"     # "block_jacobi" | "none"
+    # stage-2 smoother on the full system (the reference's ILU(0)/bjacobi
+    # role): "block_jacobi" (per-cell exact block solve), "rbgs"
+    # (red-black block Gauss-Seidel — propagates transport corrections a
+    # cell per color pass, the closer ILU analog), "none"
+    stage2: str = "block_jacobi"
+    stage2_sweeps: int = 1           # rbgs sweeps
     triangular: bool = True          # CPTR stage-1: triangular vs block-diagonal
     # decoupling operator W ([P1] §4, [P2] §3):
     #   "qimpes" — Quasi-IMPES: eliminate only the last-unknown coupling of
@@ -167,9 +172,18 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
         e_p = gmg_apply(state.gmg_p, w[0], cfg.gmg)
         x1 = jnp.zeros_like(r).at[0].set(e_p)
 
-    # stage 2: multiplicative block-Jacobi correction on the full system
+    # stage 2: multiplicative smoother correction on the full system
     if cfg.stage2 == "block_jacobi":
         return x1 + apply_blocks(state.dinv, r - state.stencil.matvec(x1))
+    if cfg.stage2 == "rbgs":
+        from thermalporous_tpu.precond.chebyshev import (
+            block_red_black_gauss_seidel,
+        )
+
+        r2 = r - state.stencil.matvec(x1)
+        return x1 + block_red_black_gauss_seidel(
+            state.stencil, state.dinv, r2, sweeps=cfg.stage2_sweeps
+        )
     return x1
 
 

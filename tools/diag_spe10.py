@@ -1,0 +1,88 @@
+"""Which CPTR component limits convergence on tp_spe10_full at large Δt?
+
+Builds the hard linear system (after a ramped warmup) STANDALONE (in-step
+nesting miscomputes on axon; standalone is verified correct) and sweeps
+preconditioner variants at generous maxiter to see true iteration needs.
+
+Usage: python tools/diag_spe10.py [dt_hours]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from thermalporous_tpu.precond import CPRConfig, GMGConfig
+    from thermalporous_tpu.precond.cpr import cpr_apply, cpr_setup
+    from thermalporous_tpu.presets import tp_spe10_full
+    from thermalporous_tpu.solve import Simulator
+    from thermalporous_tpu.solve.fgmres import fgmres
+    import dataclasses
+
+    dt_hard = float(sys.argv[1]) * 3600.0 if len(sys.argv) > 1 else 38400.0
+
+    case = tp_spe10_full()
+    model, data = case.model, case.data
+    dtype = jnp.float32
+    data = jax.tree.map(lambda a: a.astype(dtype) if hasattr(a, "astype") else a, data)
+
+    ncfg = dataclasses.replace(case.newton_cfg, pc_lag="every")
+    sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg,
+                    pc_cfg=CPRConfig(gmg=GMGConfig(cycle_type="k",
+                                                   max_coarse_cells=1024)))
+    u = model.initial_state(data, dtype=dtype)
+    dt = 600.0
+    for _ in range(5):
+        u, stats = sim.step(u, dt)
+        assert bool(jax.device_get(stats).converged)
+        dt *= 2.0
+
+    dt_j = jnp.asarray(dt_hard, dtype)
+
+    @jax.jit
+    def build(u, dt, data):
+        f = model.residual(u, u, dt, data)
+        st = model.assemble_stencil(u, u, dt, data)
+        return f, st
+
+    f, st = build(u, dt_j, data)
+    print(f"# system at dt={dt_hard:.0f}s after 5-step ramp; rtol=1e-3")
+
+    def solve(tag, pc_cfg, maxiter=150):
+        state = jax.jit(lambda s: cpr_setup(s, pc_cfg))(st)
+
+        @jax.jit
+        def run(state, f, st):
+            res = fgmres(st.matvec, -f,
+                         precond=lambda r: cpr_apply(state, r, pc_cfg),
+                         rtol=1e-3, maxiter=maxiter)
+            return res.iters, res.converged
+
+        it, conv = jax.device_get(run(state, f, st))
+        print(f"{tag:40s} iters={int(it):4d} conv={bool(conv)}")
+
+    K = dict(cycle_type="k", max_coarse_cells=1024)
+    solve("cptr k (production)", CPRConfig(gmg=GMGConfig(**K)))
+    solve("cptr k, no stage2", CPRConfig(stage2="none", gmg=GMGConfig(**K)))
+    solve("cpr k (pressure only)", CPRConfig(variant="cpr", gmg=GMGConfig(**K)))
+    solve("cptr k deg4", CPRConfig(gmg=GMGConfig(degree=4, **K)))
+    solve("cptr k cycles=2", CPRConfig(gmg=GMGConfig(cycles=2, **K)))
+    solve("cptr k cycles=3", CPRConfig(gmg=GMGConfig(cycles=3, **K)))
+    solve("cptr w-cycle", CPRConfig(gmg=GMGConfig(cycle_type="w",
+                                                  max_coarse_cells=1024)))
+    solve("cptr k semicoarsen_z", CPRConfig(gmg=GMGConfig(semicoarsen_z=True, **K)))
+    solve("cptr k inner2 (standalone ok)", CPRConfig(inner_iters=2,
+                                                     gmg=GMGConfig(**K)))
+    solve("cptr k abf", CPRConfig(decoupling="abf", gmg=GMGConfig(**K)))
+    solve("cptr k timpes", CPRConfig(decoupling="timpes", gmg=GMGConfig(**K)))
+    solve("cptr k rbgs-smoother deg2",
+          CPRConfig(gmg=GMGConfig(smoother="rbgs", **K)))
+
+
+if __name__ == "__main__":
+    main()

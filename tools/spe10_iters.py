@@ -1,0 +1,87 @@
+"""FGMRES/Newton iteration table on tp_spe10_full across the Δt ramp.
+
+VERDICT item 5 evidence: target flat ≤30 FGMRES/Newton across the ramp.
+Compares pc_lag step (round-1 config) vs every, and semicoarsen_z.
+
+Usage: python tools/spe10_iters.py [steps] [variant ...]
+Variants: step, every, every-semiz, every-in2
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from thermalporous_tpu.precond import CPRConfig, GMGConfig
+    from thermalporous_tpu.presets import tp_spe10_full
+    from thermalporous_tpu.solve import Simulator
+
+    nsteps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or ["step", "every", "every-semiz"]
+
+    case = tp_spe10_full()
+    model, data = case.model, case.data
+    data32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, data
+    )
+    ncells = model.grid.ncells
+
+    gmg = dict(cycle_type="k", max_coarse_cells=1024)
+    variants = {
+        "step": (dict(pc_lag="step"), {}),
+        "every": (dict(pc_lag="every"), {}),
+        "every-semiz": (dict(pc_lag="every"), dict(semicoarsen_z=True)),
+        "every-in2": (dict(pc_lag="every"), {}),
+        "every-deg4": (dict(pc_lag="every"), dict(degree=4)),
+        "every-cyc2": (dict(pc_lag="every"), dict(cycles=2)),
+        "every-rbgs": (dict(pc_lag="every"), dict(smoother="rbgs", degree=2)),
+        "every-w": (dict(pc_lag="every"), dict(cycle_type="w")),
+        "every-s2rbgs": (dict(pc_lag="every"), {}),
+        "every-s2rbgs2": (dict(pc_lag="every"), {}),
+    }
+
+    for name in names:
+        n_over, g_over = variants[name]
+        ncfg = dataclasses.replace(case.newton_cfg, **n_over)
+        pc_kw = dict(inner_iters=2 if name == "every-in2" else 0)
+        if name == "every-s2rbgs":
+            pc_kw.update(stage2="rbgs", stage2_sweeps=1)
+        if name == "every-s2rbgs2":
+            pc_kw.update(stage2="rbgs", stage2_sweeps=2)
+        pc_cfg = CPRConfig(gmg=GMGConfig(**{**gmg, **g_over}), **pc_kw)
+        sim = Simulator(model, data32, precond="cptr", newton_cfg=ncfg,
+                        pc_cfg=pc_cfg, time_cfg=case.time_cfg)
+        u = model.initial_state(data32, dtype=jnp.float32)
+        dt = 600.0
+        print(f"--- {name}")
+        wall_tot = newton_tot = 0.0
+        for k in range(nsteps):
+            t0 = time.perf_counter()
+            u_new, stats = sim.step(u, dt)
+            stats = jax.device_get(stats)
+            w = time.perf_counter() - t0
+            conv = bool(stats.converged)
+            nit, kit = int(stats.iters), int(stats.ksp_iters)
+            print(f"  step {k}: dt={dt:9.0f}s newton={nit:2d} "
+                  f"ksp={kit:3d} ({kit/max(nit,1):5.1f}/N) conv={conv} "
+                  f"wall={w:6.2f}s")
+            if conv:
+                u = u_new
+                dt *= 2.0
+                if k > 0:  # skip compile step in throughput
+                    wall_tot += w
+                    newton_tot += nit
+            else:
+                dt *= 0.5
+        if wall_tot > 0:
+            print(f"  -> sustained {ncells * newton_tot / wall_tot:,.0f} cu/s")
+
+
+if __name__ == "__main__":
+    main()
