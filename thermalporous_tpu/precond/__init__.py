@@ -10,6 +10,7 @@ from thermalporous_tpu.precond.cpr import (
     cpr_apply,
     cpr_setup,
     make_preconditioner,
+    resolve_adaptive_coarsening,
 )
 from thermalporous_tpu.precond.gmg import (
     GMGConfig,
@@ -17,6 +18,8 @@ from thermalporous_tpu.precond.gmg import (
     galerkin_coarsen,
     gmg_apply,
     gmg_setup,
+    axis_strengths,
+    plan_coarsening,
 )
 
 __all__ = [
@@ -34,4 +37,7 @@ __all__ = [
     "galerkin_coarsen",
     "gmg_apply",
     "gmg_setup",
+    "axis_strengths",
+    "plan_coarsening",
+    "resolve_adaptive_coarsening",
 ]

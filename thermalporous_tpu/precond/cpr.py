@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from thermalporous_tpu.core.stencil import BlockStencil, ScalarStencil, apply_blocks
-from thermalporous_tpu.precond.gmg import GMGConfig, GMGState, gmg_apply, gmg_setup
+from thermalporous_tpu.precond.gmg import (
+    GMGConfig,
+    GMGState,
+    gmg_apply,
+    gmg_setup,
+    plan_coarsening,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,19 +109,44 @@ class CPRState:
     pt: BlockStencil | None          # decoupled (p,T) 2×2 stencil (inner GMRES)
 
 
-def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
-    dinv = stencil.diag_inverse()
+def _decoupling_weights(
+    stencil: BlockStencil, cfg: CPRConfig, dinv: jax.Array | None = None
+) -> jax.Array:
     if cfg.decoupling == "abf":
-        w = dinv
-    elif cfg.decoupling == "qimpes":
-        w = _impes_weights(stencil.diag)
-    elif cfg.decoupling == "timpes":
+        return stencil.diag_inverse() if dinv is None else dinv
+    if cfg.decoupling == "qimpes":
+        return _impes_weights(stencil.diag)
+    if cfg.decoupling == "timpes":
         colsum = stencil.diag
         for up, lo in zip(stencil.upper, stencil.lower):
             colsum = colsum + up + lo
-        w = _impes_weights(colsum)
-    else:
-        raise ValueError(f"unknown decoupling {cfg.decoupling!r}")
+        return _impes_weights(colsum)
+    raise ValueError(f"unknown decoupling {cfg.decoupling!r}")
+
+
+def resolve_adaptive_coarsening(
+    stencil: BlockStencil, cfg: CPRConfig, theta: float = 0.25
+) -> CPRConfig:
+    """Bake the matrix-dependent coarsening schedule into ``cfg`` (host-side).
+
+    When ``cfg.gmg.coarsen == "adaptive"`` and no ``level_factors`` schedule
+    is set yet, decouple a CONCRETE Jacobian stencil (any representative
+    state/Δt — the coupling ratios are geometry/permeability-driven), run
+    :func:`plan_coarsening` on its pressure block, and return a config with
+    the static schedule baked in.  Call once before jitting; no-op otherwise.
+    """
+    if cfg.gmg.coarsen != "adaptive" or cfg.gmg.level_factors is not None:
+        return cfg
+    dec = stencil.scale_rows(_decoupling_weights(stencil, cfg))
+    schedule = plan_coarsening(dec.scalar(0, 0), cfg.gmg, theta=theta)
+    return dataclasses.replace(
+        cfg, gmg=dataclasses.replace(cfg.gmg, level_factors=schedule)
+    )
+
+
+def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
+    dinv = stencil.diag_inverse()
+    w = _decoupling_weights(stencil, cfg, dinv=dinv)
     dec = stencil.scale_rows(w)         # W·A
     app = dec.scalar(0, 0)
     gmg_p = gmg_setup(app, cfg.gmg)

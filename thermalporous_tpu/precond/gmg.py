@@ -64,6 +64,19 @@ class GMGConfig:
     # axes remain coarsenable — the classic fix for strong vertical coupling
     # from thin, high-transmissibility layers (SPE10: dz ≈ dx/10)
     semicoarsen_z: bool = False
+    # matrix-dependent coarsening (the AGMG/strength-of-connection idea on a
+    # structured grid): an explicit per-level schedule of coarsening factors,
+    # e.g. ((1, 1, 2), (1, 1, 2), (2, 2, 2), ...) — aggregate only along
+    # strongly-coupled axes.  Produced by :func:`plan_coarsening` from the
+    # actual operator (host-side, once per problem — coupling ratios are set
+    # by geometry/permeability, not by Δt, so the schedule is static under
+    # jit).  None = geometric full coarsening (+ semicoarsen_z if set).
+    # Levels beyond the schedule fall back to the geometric rule.
+    level_factors: tuple[tuple[int, ...], ...] | None = None
+    # "geometric" = fixed full coarsening (+ semicoarsen_z); "adaptive" asks
+    # the host-side caller (Simulator / cpr.resolve_adaptive_coarsening) to
+    # bake a matrix-dependent ``level_factors`` schedule before jitting.
+    coarsen: str = "geometric"
     # multi-chip coarse-level strategy (SURVEY.md §5.8): levels at/below
     # this many cells are constrained FULLY REPLICATED (one all-gather at
     # the restriction that crosses the threshold), so deep-cycle smoothing
@@ -158,13 +171,87 @@ def galerkin_coarsen(
     return ScalarStencil(diag=coarse_d, upper=tuple(coarse_up), lower=tuple(coarse_lo))
 
 
-def _level_factors(shape: tuple[int, ...], cfg: GMGConfig) -> tuple[int, ...]:
+def _level_factors(
+    shape: tuple[int, ...], cfg: GMGConfig, level: int | None = None
+) -> tuple[int, ...]:
+    if (
+        cfg.level_factors is not None
+        and level is not None
+        and level < len(cfg.level_factors)
+    ):
+        # matrix-dependent schedule; clamp factor 2 -> 1 on exhausted axes
+        return tuple(
+            f if n > 1 else 1 for f, n in zip(cfg.level_factors[level], shape)
+        )
     factors = [2 if n > 1 else 1 for n in shape]
     if cfg.semicoarsen_z and len(shape) == 3 and any(
         n > 1 for n in shape[:2]
     ):
         factors[2] = 1
     return tuple(factors)
+
+
+def axis_strengths(st: ScalarStencil) -> tuple[float, ...]:
+    """Mean |coupling| per axis of a CONCRETE scalar stencil (host-side).
+
+    The strength-of-connection measure behind :func:`plan_coarsening`:
+    smoothing leaves error smooth along strongly-coupled axes, so those are
+    the axes worth aggregating (classical anisotropic-multigrid rule; the
+    structured-grid form of AGMG's strength-guided pairwise aggregation).
+    """
+    import numpy as np
+
+    return tuple(
+        float(np.mean(np.abs(np.asarray(up)) + np.abs(np.asarray(lo))))
+        for up, lo in zip(st.upper, st.lower)
+    )
+
+
+def plan_coarsening(
+    st: ScalarStencil,
+    cfg: GMGConfig = GMGConfig(),
+    theta: float = 0.25,
+) -> tuple[tuple[int, ...], ...]:
+    """Matrix-dependent per-level coarsening schedule from a concrete stencil.
+
+    Walks the actual Galerkin hierarchy of ``st`` (host-side, once per
+    problem): at each level, coarsen only the axes whose mean coupling
+    strength is ≥ ``theta`` × the strongest axis — e.g. on SPE10 geometry
+    (Δz ≈ Δx/10 ⇒ vertical transmissibility ~30× horizontal) the first
+    levels aggregate along z only, until the coarse operator's anisotropy
+    equilibrates, then coarsen all axes.  This is the structured-grid
+    counterpart of BoomerAMG's operator-dependent coarsening — the role the
+    reference delegates to hypre (SURVEY.md §7 hard part #1).
+
+    The coupling RATIOS are set by grid geometry and permeability, not by
+    the Newton state or Δt (those move the diagonal), so the schedule is
+    computed once and baked into :class:`GMGConfig` as a static — shapes
+    under ``jit`` stay static while the hierarchy remains operator-adapted.
+
+    Returns the factor schedule; bake it in with
+    ``dataclasses.replace(cfg, level_factors=plan_coarsening(st, cfg))``.
+    """
+    schedule: list[tuple[int, ...]] = []
+    level = st
+    while (
+        math.prod(level.grid_shape) > cfg.max_coarse_cells
+        and len(schedule) < cfg.max_levels - 1
+        and any(n > 1 for n in level.grid_shape)
+    ):
+        s = axis_strengths(level)
+        smax = max(
+            (v for v, n in zip(s, level.grid_shape) if n > 1), default=0.0
+        )
+        factors = tuple(
+            2 if (n > 1 and (smax <= 0.0 or v >= theta * smax)) else 1
+            for v, n in zip(s, level.grid_shape)
+        )
+        if all(f == 1 for f in factors):  # degenerate: coarsen strongest axis
+            a = max(range(len(s)), key=lambda i: (level.grid_shape[i] > 1, s[i]))
+            factors = tuple(2 if i == a else 1 for i in range(len(s)))
+        schedule.append(factors)
+        level = galerkin_coarsen(level, factors)
+    return tuple(schedule)
 
 
 def _replicated(x: jax.Array, cfg: GMGConfig) -> jax.Array:
@@ -195,7 +282,10 @@ def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
         stencils.append(
             _maybe_replicate_level(
                 galerkin_coarsen(
-                    stencils[-1], _level_factors(stencils[-1].grid_shape, cfg)
+                    stencils[-1],
+                    _level_factors(
+                        stencils[-1].grid_shape, cfg, level=len(stencils) - 1
+                    ),
                 ),
                 cfg,
             )

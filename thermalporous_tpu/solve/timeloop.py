@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from thermalporous_tpu.models.base import ProblemData, ThermalModelBase
-from thermalporous_tpu.precond.cpr import CPRConfig, make_preconditioner
+from thermalporous_tpu.precond.cpr import (
+    CPRConfig,
+    make_preconditioner,
+    resolve_adaptive_coarsening,
+)
 from thermalporous_tpu.solve.newton import NewtonConfig, newton_solve
 
 
@@ -137,6 +141,16 @@ class Simulator:
         self.data = data
         self.newton_cfg = newton_cfg
         self.time_cfg = time_cfg
+        if pc_cfg is not None and pc_cfg.gmg.coarsen == "adaptive":
+            # bake the matrix-dependent coarsening schedule (host-side, once:
+            # coupling ratios are geometry-driven, so any representative
+            # state/Δt yields the same schedule — see plan_coarsening)
+            u0 = model.initial_state(data)
+            st = model.assemble_stencil(
+                u0, u0, jnp.asarray(time_cfg.dt_init, u0.dtype), data
+            )
+            pc_cfg = resolve_adaptive_coarsening(st, pc_cfg)
+        self.pc_cfg = pc_cfg
         self._advance = jax.jit(
             make_step_fn(model, precond, newton_cfg, pc_cfg, fuse=fuse)
         )

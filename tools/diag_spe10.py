@@ -53,7 +53,12 @@ def main():
     f, st = build(u, dt_j, data)
     print(f"# system at dt={dt_hard:.0f}s after 5-step ramp; rtol=1e-3")
 
+    from thermalporous_tpu.precond.cpr import resolve_adaptive_coarsening
+
     def solve(tag, pc_cfg, maxiter=150):
+        pc_cfg = resolve_adaptive_coarsening(st, pc_cfg)
+        if pc_cfg.gmg.level_factors is not None:
+            print(f"  [{tag}] schedule: {pc_cfg.gmg.level_factors}")
         state = jax.jit(lambda s: cpr_setup(s, pc_cfg))(st)
 
         @jax.jit
@@ -82,6 +87,25 @@ def main():
     solve("cptr k timpes", CPRConfig(decoupling="timpes", gmg=GMGConfig(**K)))
     solve("cptr k rbgs-smoother deg2",
           CPRConfig(gmg=GMGConfig(smoother="rbgs", **K)))
+    solve("cptr k ADAPTIVE coarsening",
+          CPRConfig(gmg=GMGConfig(coarsen="adaptive", **K)))
+    solve("cptr k adaptive deg4",
+          CPRConfig(gmg=GMGConfig(coarsen="adaptive", degree=4, **K)))
+    solve("cptr v adaptive",
+          CPRConfig(gmg=GMGConfig(coarsen="adaptive", cycle_type="v",
+                                  max_coarse_cells=1024)))
+    A = dict(coarsen="adaptive", **K)
+    solve("adaptive + s2 rbgs", CPRConfig(stage2="rbgs", gmg=GMGConfig(**A)))
+    solve("adaptive + s2 rbgs x2",
+          CPRConfig(stage2="rbgs", stage2_sweeps=2, gmg=GMGConfig(**A)))
+    solve("adaptive cycles=2", CPRConfig(gmg=GMGConfig(cycles=2, **A)))
+    solve("adaptive cycles=2 + s2 rbgs",
+          CPRConfig(stage2="rbgs", gmg=GMGConfig(cycles=2, **A)))
+    solve("adaptive deg4 + s2 rbgs",
+          CPRConfig(stage2="rbgs", gmg=GMGConfig(degree=4, **A)))
+    solve("adaptive rbgs-smoother + s2 rbgs",
+          CPRConfig(stage2="rbgs", gmg=GMGConfig(smoother="rbgs", **A)))
+    solve("adaptive inner2", CPRConfig(inner_iters=2, gmg=GMGConfig(**A)))
 
 
 if __name__ == "__main__":
