@@ -71,16 +71,21 @@ def main():
     print(f"# grid {case.model.grid.shape} = {case.model.grid.ncells} cells, "
           f"{case.model.nc} unknowns/cell, precond={args.precond or case.precond}")
 
-    pc_cfg = None
+    pc_cfg = case.pc_cfg
     if args.pallas_gmg or args.decoupling or args.cycle:
+        import dataclasses as _dc
+
         from thermalporous_tpu.precond import CPRConfig, GMGConfig
 
-        gmg = GMGConfig(
+        base = pc_cfg if pc_cfg is not None else CPRConfig()
+        gmg = _dc.replace(
+            base.gmg,
             use_pallas=args.pallas_gmg,
-            cycle_type=args.cycle or GMGConfig().cycle_type,
+            cycle_type=args.cycle or base.gmg.cycle_type,
         )
-        pc_cfg = CPRConfig(
-            decoupling=args.decoupling or CPRConfig().decoupling,
+        pc_cfg = _dc.replace(
+            base,
+            decoupling=args.decoupling or base.decoupling,
             gmg=gmg,
         )
     sim = Simulator(

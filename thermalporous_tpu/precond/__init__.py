@@ -1,8 +1,11 @@
 from thermalporous_tpu.precond.chebyshev import (
     chebyshev,
     gershgorin_lambda_max,
+    line_jacobi,
     red_black_gauss_seidel,
+    tridiag_solve_along,
     weighted_jacobi,
+    zebra_line_gs,
 )
 from thermalporous_tpu.precond.cpr import (
     CPRConfig,
@@ -25,6 +28,9 @@ from thermalporous_tpu.precond.gmg import (
 __all__ = [
     "chebyshev",
     "gershgorin_lambda_max",
+    "line_jacobi",
+    "tridiag_solve_along",
+    "zebra_line_gs",
     "red_black_gauss_seidel",
     "weighted_jacobi",
     "CPRConfig",

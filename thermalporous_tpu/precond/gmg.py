@@ -33,8 +33,10 @@ from thermalporous_tpu.core.stencil import ScalarStencil
 from thermalporous_tpu.precond.chebyshev import (
     chebyshev,
     gershgorin_lambda_max,
+    line_jacobi,
     red_black_gauss_seidel,
     weighted_jacobi,
+    zebra_line_gs,
 )
 
 
@@ -42,7 +44,9 @@ from thermalporous_tpu.precond.chebyshev import (
 class GMGConfig:
     """Static multigrid configuration."""
 
-    smoother: str = "chebyshev"       # "chebyshev" | "jacobi" | "rbgs"
+    smoother: str = "chebyshev"       # "chebyshev" | "jacobi" | "rbgs" |
+                                      # "line" (line-Jacobi) | "zebra"
+    line_axis: int = -1               # strong axis for line smoothers (z)
     degree: int = 2                   # smoothing steps pre and post
     lam_min_frac: float = 0.3         # Chebyshev smoothing interval lower end
     jacobi_omega: float = 0.8
@@ -325,6 +329,10 @@ def _smooth(st, lam, b, x, cfg: GMGConfig):
         )
     if cfg.smoother == "rbgs":
         return red_black_gauss_seidel(st, b, x, sweeps=cfg.degree)
+    if cfg.smoother == "line":
+        return line_jacobi(st, b, x, axis=cfg.line_axis, sweeps=cfg.degree)
+    if cfg.smoother == "zebra":
+        return zebra_line_gs(st, b, x, axis=cfg.line_axis, sweeps=cfg.degree)
     return weighted_jacobi(st, b, x, sweeps=cfg.degree, omega=cfg.jacobi_omega)
 
 

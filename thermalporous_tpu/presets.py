@@ -36,6 +36,10 @@ class Case:
     t_end: float
     precond: str = "cptr"
     well_masks: dict | None = None
+    # per-case preconditioner tuning (None = CPRConfig defaults); the
+    # reference keys per-case PETSc solver_parameters the same way
+    # (SURVEY.md §2.1)
+    pc_cfg: object | None = None
 
 
 def sp_hot_injection_2d(n: int = 40) -> Case:

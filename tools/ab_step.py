@@ -35,6 +35,8 @@ VARIANTS = {
                                   ksp_rtol=1e-2), dict(), False),
     "stencil-every-v":      (dict(krylov_op="stencil", pc_lag="every"),
                              dict(cycle_type="v"), False),
+    "stencil-every-s2rbgs": (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(), False),
 }
 
 
@@ -49,7 +51,8 @@ def run_variant(name, model, data, u0, nsteps):
     cfg = NewtonConfig(**kw)
     gkw = dict(cycle_type="k", max_coarse_cells=1024)
     gkw.update(gmg_over)
-    pc_cfg = CPRConfig(gmg=GMGConfig(**gkw))
+    pc_kw = dict(stage2="rbgs") if name.endswith("s2rbgs") else {}
+    pc_cfg = CPRConfig(gmg=GMGConfig(**gkw), **pc_kw)
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg, fuse=fuse))
 
     u = u0

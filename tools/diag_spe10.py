@@ -55,7 +55,11 @@ def main():
 
     from thermalporous_tpu.precond.cpr import resolve_adaptive_coarsening
 
+    only = [s.lower() for s in sys.argv[2:]]
+
     def solve(tag, pc_cfg, maxiter=150):
+        if only and not any(s in tag.lower() for s in only):
+            return
         pc_cfg = resolve_adaptive_coarsening(st, pc_cfg)
         if pc_cfg.gmg.level_factors is not None:
             print(f"  [{tag}] schedule: {pc_cfg.gmg.level_factors}")
@@ -106,6 +110,17 @@ def main():
     solve("adaptive rbgs-smoother + s2 rbgs",
           CPRConfig(stage2="rbgs", gmg=GMGConfig(smoother="rbgs", **A)))
     solve("adaptive inner2", CPRConfig(inner_iters=2, gmg=GMGConfig(**A)))
+    solve("full + zebra z-lines",
+          CPRConfig(gmg=GMGConfig(smoother="zebra", degree=1, **K)))
+    solve("full + zebra deg2",
+          CPRConfig(gmg=GMGConfig(smoother="zebra", **K)))
+    solve("adaptive + zebra",
+          CPRConfig(gmg=GMGConfig(smoother="zebra", degree=1, **A)))
+    solve("full + line-jacobi deg2",
+          CPRConfig(gmg=GMGConfig(smoother="line", **K)))
+    solve("full zebra + s2 rbgs",
+          CPRConfig(stage2="rbgs", gmg=GMGConfig(smoother="zebra", degree=1,
+                                                 **K)))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,13 @@ def main():
         "every-w": (dict(pc_lag="every"), dict(cycle_type="w")),
         "every-s2rbgs": (dict(pc_lag="every"), {}),
         "every-s2rbgs2": (dict(pc_lag="every"), {}),
+        "every-adapt": (dict(pc_lag="every"), dict(coarsen="adaptive")),
+        "every-adapt-rbgs": (dict(pc_lag="every"), dict(coarsen="adaptive")),
+        "every-zebra": (dict(pc_lag="every"),
+                        dict(smoother="zebra", degree=1)),
+        "every-adapt-zebra": (dict(pc_lag="every"),
+                              dict(coarsen="adaptive", smoother="zebra",
+                                   degree=1)),
     }
 
     for name in names:
@@ -54,6 +61,8 @@ def main():
             pc_kw.update(stage2="rbgs", stage2_sweeps=1)
         if name == "every-s2rbgs2":
             pc_kw.update(stage2="rbgs", stage2_sweeps=2)
+        if name == "every-adapt-rbgs":
+            pc_kw.update(stage2="rbgs", stage2_sweeps=1)
         pc_cfg = CPRConfig(gmg=GMGConfig(**{**gmg, **g_over}), **pc_kw)
         sim = Simulator(model, data32, precond="cptr", newton_cfg=ncfg,
                         pc_cfg=pc_cfg, time_cfg=case.time_cfg)
