@@ -203,12 +203,14 @@ def axis_strengths(st: ScalarStencil) -> tuple[float, ...]:
     the axes worth aggregating (classical anisotropic-multigrid rule; the
     structured-grid form of AGMG's strength-guided pairwise aggregation).
     """
-    import numpy as np
-
-    return tuple(
-        float(np.mean(np.abs(np.asarray(up)) + np.abs(np.asarray(lo))))
+    # reduce on device, fetch scalars in ONE transfer: under the axon tunnel
+    # device->host array pulls run ~30 MB/s and every fetch is a ~30 ms round
+    # trip (CLAUDE.md measurement notes)
+    vals = [
+        jnp.mean(jnp.abs(up)) + jnp.mean(jnp.abs(lo))
         for up, lo in zip(st.upper, st.lower)
-    )
+    ]
+    return tuple(float(v) for v in jax.device_get(vals))
 
 
 def plan_coarsening(

@@ -22,6 +22,7 @@ from thermalporous_tpu.models import (
     make_problem_data,
 )
 from thermalporous_tpu.physics import Heater, PhysicalParams, Well, per_well_masks
+from thermalporous_tpu.precond import CPRConfig, GMGConfig
 from thermalporous_tpu.solve import NewtonConfig, TimeConfig
 
 
@@ -182,8 +183,18 @@ def tp_spe10_3d(nx: int = 60, ny: int = 110, nz: int = 16, seed: int = 2020) -> 
 def tp_spe10_full(seed: int = 2020) -> Case:
     """Full SPE10-size problem: 60×220×85 = 1.122M cells (3.37M dof),
     two-phase thermal — the reference papers' largest demonstrated problem
-    ([P2], run there on O(10–100) MPI cores).  Round-1 measured on ONE TPU
-    v5e chip in f32: ~850 ms/step, 3 Newton/step, ~27 FGMRES/Newton.
+    ([P2], run there on O(10–100) MPI cores).  Runs on ONE TPU v5e chip in
+    f32 at ~2.6M cell-updates/s sustained across the Δt ramp.
+
+    Solver preset (round-2 measured, tools/spe10_iters.py): rebuild the
+    preconditioner every Newton iteration (the reference's behavior; the
+    frozen per-step PC thrashes at the iteration cap on ramped Δt), CPTR
+    with matrix-dependent (strength-adaptive) coarsening — SPE10's thin
+    cells make vertical transmissibility ~30× horizontal, so the first GMG
+    levels aggregate along z — and red-black block Gauss–Seidel stage 2.
+    vs the geometric+block-Jacobi default this cuts FGMRES/Newton ~30%
+    across the ramp (6.0→50.6 vs 11.8→59.5 at ksp_rtol 1e-5) and keeps
+    converging at day-scale Δt where the default hits the cap.
     """
     nx, ny, nz = 60, 220, 85
     pp = PhysicalParams()
@@ -210,7 +221,12 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         data=data,
         time_cfg=TimeConfig(dt_init=300.0, dt_max=2 * 86400.0),
         newton_cfg=NewtonConfig(atol=3e-5, ksp_maxiter=60, max_iters=16,
-                                pc_lag="step"),
+                                pc_lag="every"),
+        pc_cfg=CPRConfig(
+            stage2="rbgs",
+            gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
+                          coarsen="adaptive"),
+        ),
         t_end=30 * 86400.0,
     )
 

@@ -37,6 +37,19 @@ VARIANTS = {
                              dict(cycle_type="v"), False),
     "stencil-every-s2rbgs": (dict(krylov_op="stencil", pc_lag="every"),
                              dict(), False),
+    # coarse-level economics: the dense coarse inverse is rebuilt every
+    # Newton iteration with pc_lag="every"; smaller coarsest levels trade
+    # inv cost for cycle depth
+    "stencil-every-c256":   (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(max_coarse_cells=256), False),
+    "stencil-every-c64":    (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(max_coarse_cells=64), False),
+    "stencil-every-k64":    (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(max_coarse_cells=1024,
+                                  kcycle_min_cells=64), False),
+    "stencil-every-k1024":  (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(max_coarse_cells=1024,
+                                  kcycle_min_cells=1024), False),
 }
 
 
