@@ -50,6 +50,12 @@ VARIANTS = {
     "stencil-every-k1024":  (dict(krylov_op="stencil", pc_lag="every"),
                              dict(max_coarse_cells=1024,
                                   kcycle_min_cells=1024), False),
+    "stencil-every-deg4":   (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(degree=4), False),
+    "stencil-every-cyc2":   (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(cycles=2), False),
+    "stencil-every-rbgs-sm": (dict(krylov_op="stencil", pc_lag="every"),
+                              dict(smoother="rbgs"), False),
 }
 
 
