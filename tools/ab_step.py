@@ -81,6 +81,7 @@ def run_variant(name, model, data, u0, nsteps):
     assert bool(stats.converged), f"{name}: warmup diverged"
 
     total_newton = total_ksp = 0
+    t_sim = 0.0
     t0 = time.perf_counter()
     for _ in range(nsteps):
         dt *= 1.5
@@ -94,13 +95,17 @@ def run_variant(name, model, data, u0, nsteps):
             stats = jax.device_get(stats)
         assert bool(stats.converged)
         u = u_new
+        t_sim += dt
         total_newton += int(stats.iters)
         total_ksp += int(stats.ksp_iters)
     wall = time.perf_counter() - t0
     ncells = u0.shape[1] * u0.shape[2]
     cu = ncells * total_newton / wall
+    # t_sim/wall is the time-to-solution metric: variants take different
+    # Δt-retry trajectories, so wall alone is not comparable across them
     print(f"{name:20s} wall={wall:7.2f}s newton={total_newton:3d} "
-          f"ksp={total_ksp:4d} cu/s={cu:,.0f}")
+          f"ksp={total_ksp:4d} cu/s={cu:,.0f} "
+          f"t_sim={t_sim:9.3e}s speedup={t_sim/wall:,.0f}x")
     return cu
 
 
