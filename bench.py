@@ -76,7 +76,11 @@ def main():
 
     cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-3, ksp_maxiter=40,
                        max_iters=14, pc_lag="every", krylov_op="stencil")
-    pc_cfg = CPRConfig(gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024))
+    # degree-4 Chebyshev smoothing: measured 47% better time-to-solution on
+    # the hard end of the ramp (fewer Δt cutbacks AND less wall; see
+    # BASELINE.md round-2 A/B table) at no cost in the easy regime
+    pc_cfg = CPRConfig(gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
+                                     degree=4))
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg))
 
     def do_step(u, dt):

@@ -24,7 +24,8 @@ def main():
     p.add_argument("--list", action="store_true", help="list available cases")
     p.add_argument("--t-end-days", type=float, default=None)
     p.add_argument("--max-steps", type=int, default=100000)
-    p.add_argument("--precond", default=None, choices=[None, "none", "jacobi", "cpr", "cptr"])
+    p.add_argument("--precond", default=None,
+                   choices=[None, "none", "jacobi", "rbgs", "lu", "cpr", "cptr"])
     p.add_argument("--dt0", type=float, default=None, help="initial dt [s]")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="override jax platform (default: environment)")

@@ -133,3 +133,45 @@ def test_cptr_stage2_rbgs_matches_oracle():
     u, stats = sim.step(model.initial_state(data), dts[0])
     assert bool(stats.converged)
     _compare_states(u, oracle_states[0])
+
+
+def test_lu_preconditioner_exact(rng):
+    """The reference's direct-LU preset: FGMRES converges in 1 iteration and
+    the guard rejects production-size grids."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.precond import make_preconditioner
+    from thermalporous_tpu.solve.fgmres import fgmres
+
+    pp = PhysicalParams()
+    g = Grid(shape=(6, 6), spacing=(10.0, 10.0), thickness=5.0)
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=400.0),
+        Well(cells=((5, 5),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=1e-13, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp)
+    u = model.initial_state(data)
+    dt = jnp.asarray(600.0, u.dtype)
+    st = model.assemble_stencil(u, u, dt, data)
+    f = model.residual(u, u, dt, data)
+
+    setup, apply = make_preconditioner("lu")
+    state = setup(st)
+    res = fgmres(st.matvec, -f, precond=lambda r: apply(state, r),
+                 rtol=1e-10, maxiter=5)
+    assert int(res.iters) == 1 and bool(res.converged)
+
+    big = Grid(shape=(100, 100), spacing=(1.0, 1.0))
+    data_b = make_problem_data(big, pp, kx=1e-13, phi=0.2, wells=[
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=400.0)])
+    model_b = TwoPhaseModel(big, pp)
+    u_b = model_b.initial_state(data_b)
+    st_b = model_b.assemble_stencil(u_b, u_b, dt, data_b)
+    with pytest.raises(ValueError, match="tiny grids"):
+        setup(st_b)

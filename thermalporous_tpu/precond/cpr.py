@@ -225,11 +225,33 @@ def make_preconditioner(name: str, cfg: CPRConfig | None = None):
 
     Names mirror the reference's solver-parameter presets (SURVEY.md §2.1):
     "none", "jacobi" (per-cell block-Jacobi), "rbgs" (one-stage red-black
-    block Gauss–Seidel, the TPU-parallel ILU-analog), "cpr", "cptr".
+    block Gauss–Seidel, the TPU-parallel ILU-analog), "lu" (exact dense
+    inverse — the reference's direct-LU preset; tiny grids only), "cpr",
+    "cptr".
     """
     name = name.lower()
     if name == "none":
         return (lambda st: None, lambda state, r: r)
+    if name == "lu":
+        # the reference's `pc_type: lu` debugging preset: exact solve as the
+        # preconditioner (FGMRES converges in 1 iteration).  Dense inverse,
+        # not LU factors: triangular solves are sequential on TPU, inv·r is
+        # one matmul.  O((nc·N)²) memory — guard against production misuse.
+        def lu_setup(st):
+            import math as _math
+
+            n = st.nc * _math.prod(st.grid_shape)
+            if n > 20000:
+                raise ValueError(
+                    f"'lu' preconditioner is dense ({n}² entries); use it "
+                    "only on tiny grids (debugging/ablation, SURVEY.md §2.1)"
+                )
+            return jnp.linalg.inv(st.to_dense())
+
+        def lu_apply(inv, r):
+            return (inv @ r.reshape(-1)).reshape(r.shape)
+
+        return (lu_setup, lu_apply)
     if name == "jacobi":
         return (
             lambda st: st.diag_inverse(),

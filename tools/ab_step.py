@@ -56,6 +56,12 @@ VARIANTS = {
                              dict(cycles=2), False),
     "stencil-every-rbgs-sm": (dict(krylov_op="stencil", pc_lag="every"),
                               dict(smoother="rbgs"), False),
+    "stencil-every-deg6":   (dict(krylov_op="stencil", pc_lag="every"),
+                             dict(degree=6), False),
+    "stencil-every-deg4-ksp2": (dict(krylov_op="stencil", pc_lag="every",
+                                     ksp_rtol=1e-2), dict(degree=4), False),
+    "stencil-every-deg4-cyc2": (dict(krylov_op="stencil", pc_lag="every"),
+                                dict(degree=4, cycles=2), False),
 }
 
 
