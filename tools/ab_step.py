@@ -62,6 +62,12 @@ VARIANTS = {
                                      ksp_rtol=1e-2), dict(degree=4), False),
     "stencil-every-deg4-cyc2": (dict(krylov_op="stencil", pc_lag="every"),
                                 dict(degree=4, cycles=2), False),
+    # Krylov-space cap: CGS2 sweeps stream the full static basis, so a
+    # smaller cap cuts orthogonalization traffic IF convergence still fits
+    "stencil-every-deg4-m24": (dict(krylov_op="stencil", pc_lag="every",
+                                    ksp_maxiter=24), dict(degree=4), False),
+    "stencil-every-deg4-m16": (dict(krylov_op="stencil", pc_lag="every",
+                                    ksp_maxiter=16), dict(degree=4), False),
 }
 
 

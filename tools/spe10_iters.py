@@ -46,6 +46,8 @@ def main():
         "every-s2rbgs2": (dict(pc_lag="every"), {}),
         "every-adapt": (dict(pc_lag="every"), dict(coarsen="adaptive")),
         "every-adapt-rbgs": (dict(pc_lag="every"), dict(coarsen="adaptive")),
+        "every-adapt-rbgs-deg4": (dict(pc_lag="every"),
+                                  dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
@@ -57,6 +59,8 @@ def main():
         n_over, g_over = variants[name]
         ncfg = dataclasses.replace(case.newton_cfg, **n_over)
         pc_kw = dict(inner_iters=2 if name == "every-in2" else 0)
+        if name.startswith("every-adapt-rbgs"):
+            pc_kw.update(stage2="rbgs", stage2_sweeps=1)
         if name == "every-s2rbgs":
             pc_kw.update(stage2="rbgs", stage2_sweeps=1)
         if name == "every-s2rbgs2":
@@ -69,7 +73,7 @@ def main():
         u = model.initial_state(data32, dtype=jnp.float32)
         dt = 600.0
         print(f"--- {name}")
-        wall_tot = newton_tot = 0.0
+        wall_tot = newton_tot = t_sim = 0.0
         for k in range(nsteps):
             t0 = time.perf_counter()
             u_new, stats = sim.step(u, dt)
@@ -82,14 +86,16 @@ def main():
                   f"wall={w:6.2f}s")
             if conv:
                 u = u_new
-                dt *= 2.0
                 if k > 0:  # skip compile step in throughput
                     wall_tot += w
                     newton_tot += nit
+                    t_sim += dt
+                dt *= 2.0
             else:
                 dt *= 0.5
         if wall_tot > 0:
-            print(f"  -> sustained {ncells * newton_tot / wall_tot:,.0f} cu/s")
+            print(f"  -> sustained {ncells * newton_tot / wall_tot:,.0f} cu/s, "
+                  f"t_sim/wall = {t_sim / wall_tot:,.0f}x realtime")
 
 
 if __name__ == "__main__":
