@@ -74,6 +74,12 @@ def main():
     model = TwoPhaseModel(grid, pp, s_init=0.2)
     ncells = grid.ncells
 
+    # ksp_maxiter is regime-dependent (BASELINE.md round-2 A/B): a 16-cap
+    # wins 1.55x time-to-solution on gentle ×1.5 ramps (small basis = less
+    # CGS2 traffic, cheap capped failures) but CRATERS this ×2 doubling
+    # workload (5.7M vs 13.2M cu/s: doubling creates steps whose solves
+    # need the full 40-space, and cutback retries burn wall).  The artifact
+    # keeps the robust 40-cap.
     cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-3, ksp_maxiter=40,
                        max_iters=14, pc_lag="every", krylov_op="stencil")
     # degree-4 Chebyshev smoothing: measured 47% better time-to-solution on

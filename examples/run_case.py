@@ -27,6 +27,9 @@ def main():
     p.add_argument("--precond", default=None,
                    choices=[None, "none", "jacobi", "rbgs", "lu", "cpr", "cptr"])
     p.add_argument("--dt0", type=float, default=None, help="initial dt [s]")
+    p.add_argument("--predictor", default=None, choices=[None, "none", "linear"],
+                   help="Newton initial guess: linear = extrapolate from the "
+                        "previous step (same converged answer, fewer iterations)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="override jax platform (default: environment)")
     p.add_argument("--x64", action="store_true", default=True)
@@ -89,13 +92,18 @@ def main():
             decoupling=args.decoupling or base.decoupling,
             gmg=gmg,
         )
+    time_cfg = case.time_cfg
+    if args.predictor:
+        import dataclasses as _dc2
+
+        time_cfg = _dc2.replace(time_cfg, predictor=args.predictor)
     sim = Simulator(
         case.model,
         case.data,
         precond=args.precond or case.precond,
         pc_cfg=pc_cfg,
         newton_cfg=case.newton_cfg,
-        time_cfg=case.time_cfg,
+        time_cfg=time_cfg,
         fuse=args.fuse,
     )
 

@@ -175,3 +175,48 @@ def test_lu_preconditioner_exact(rng):
     st_b = model_b.assemble_stencil(u_b, u_b, dt, data_b)
     with pytest.raises(ValueError, match="tiny grids"):
         setup(st_b)
+
+
+def test_linear_predictor_same_trajectory():
+    """The linear-extrapolation Newton initial guess changes the start
+    point, not the rootfind: trajectories match the default to solver
+    tolerance, and the predictor does not cost iterations."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.solve import NewtonConfig, Simulator, TimeConfig
+
+    pp = PhysicalParams()
+    n = 12
+    g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=1e-13, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp, s_init=0.2)
+    ncfg = NewtonConfig(rtol=1e-9, ksp_rtol=1e-7)
+
+    results = {}
+    for pred in ("none", "linear"):
+        sim = Simulator(
+            model, data, precond="cptr", newton_cfg=ncfg,
+            time_cfg=TimeConfig(dt_init=1800.0, predictor=pred),
+        )
+        results[pred] = sim.run(t_end=12 * 3600.0)
+
+    a, b = results["none"], results["linear"]
+    assert a.steps == b.steps
+    np.testing.assert_allclose(
+        np.asarray(a.u[0]), np.asarray(b.u[0]), atol=50.0)       # p [Pa]
+    np.testing.assert_allclose(
+        np.asarray(a.u[1]), np.asarray(b.u[1]), atol=1e-4)       # T [K]
+    np.testing.assert_allclose(
+        np.asarray(a.u[2]), np.asarray(b.u[2]), atol=1e-6)       # S_w
+    assert b.total_newton <= a.total_newton + 2, (
+        b.total_newton, a.total_newton)

@@ -67,14 +67,14 @@ def make_step_fn(
         def jvp_at_factory(u_old, dt, data):
             return lambda u: model.jvp(u, u_old, dt, data)
 
-    def advance(u_old, dt, data):
+    def advance(u_old, dt, data, u_guess=None):
         return newton_solve(
             residual=residual_at(u_old, dt, data),
             jvp_at=jvp_at_factory(u_old, dt, data),
             assemble=lambda u: model.assemble_stencil(u, u_old, dt, data),
             pc_setup=pc_setup,
             pc_apply=pc_apply,
-            u0=u_old,
+            u0=u_old if u_guess is None else u_guess,
             cfg=newton_cfg,
             scale=model.residual_scales(u_old, dt, data),
         )
@@ -92,6 +92,11 @@ class TimeConfig:
     grow_below: int = 6          # grow when newton_iters < this
     shrink_above: int = 10       # shrink next Δt when newton_iters > this
     max_retries: int = 12
+    # Newton initial guess: "none" = previous state (the PETSc/reference
+    # default), "linear" = extrapolate u + (Δt/Δt_prev)·(u − u_prev) with
+    # saturation clipped to its physical range — the converged answer is
+    # unchanged (same rootfind, same tolerance), only the start point moves
+    predictor: str = "none"
 
 
 @dataclasses.dataclass
@@ -151,13 +156,29 @@ class Simulator:
             )
             pc_cfg = resolve_adaptive_coarsening(st, pc_cfg)
         self.pc_cfg = pc_cfg
-        self._advance = jax.jit(
-            make_step_fn(model, precond, newton_cfg, pc_cfg, fuse=fuse)
+        fn = make_step_fn(model, precond, newton_cfg, pc_cfg, fuse=fuse)
+        self._advance = jax.jit(fn)
+        self._advance_from = jax.jit(
+            lambda u_old, dt, data, u_guess: fn(u_old, dt, data, u_guess)
         )
 
-    def step(self, u_old: jax.Array, dt: float):
-        """One Newton solve (no Δt adaptivity); returns (u, stats)."""
-        return self._advance(u_old, jnp.asarray(dt, dtype=u_old.dtype), self.data)
+    def step(self, u_old: jax.Array, dt: float, u_guess: jax.Array | None = None):
+        """One Newton solve (no Δt adaptivity); returns (u, stats).
+
+        ``u_guess`` optionally overrides the Newton start point (the
+        predictor path); the converged answer is unchanged."""
+        dt = jnp.asarray(dt, dtype=u_old.dtype)
+        if u_guess is None:
+            return self._advance(u_old, dt, self.data)
+        return self._advance_from(u_old, dt, self.data, u_guess)
+
+    def _predict(self, u, u_prev, dt, dt_prev):
+        """Linear-extrapolation initial guess, saturation clipped to [0,1]."""
+        fac = jnp.asarray(dt / max(dt_prev, 1e-30), dtype=u.dtype)
+        g = u + fac * (u - u_prev)
+        if u.shape[0] >= 3:
+            g = g.at[2].set(jnp.clip(g[2], 0.0, 1.0))
+        return g
 
     def run(
         self,
@@ -179,13 +200,18 @@ class Simulator:
         records: list[StepRecord] = []
         run_start = time.perf_counter()
         step_idx = step0
+        u_prev = None
+        dt_prev = 0.0
 
         while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
             dt = min(dt, tc.dt_max, t_end - t)
             retries = 0
             step_start = time.perf_counter()
             while True:
-                u_new, stats = self.step(u, dt)
+                guess = None
+                if tc.predictor == "linear" and u_prev is not None:
+                    guess = self._predict(u, u_prev, dt, dt_prev)
+                u_new, stats = self.step(u, dt, guess)
                 # ONE bulk transfer of the stats pytree: under the axon
                 # tunnel every scalar fetch is a ~30 ms round trip, so
                 # reading the five fields individually would dominate the
@@ -225,6 +251,7 @@ class Simulator:
             rec.next_dt = dt
 
             records.append(rec)
+            u_prev, dt_prev = u, rec.dt
             u = u_new
             if verbose:
                 print(
