@@ -96,3 +96,34 @@ def test_f32_with_f64_reductions_iteration_parity(rng):
     # solve meets the same relative residual its f64 twin does
     r32 = np.asarray(b32 - a32 @ res32.x, np.float64)
     assert np.linalg.norm(r32) <= 1.2e-4 * np.linalg.norm(np.asarray(b64))
+
+
+def test_fgmres_restarted_matches_single_cycle(rng):
+    """FGMRES(r) restart cycles reach the same tolerance as one long cycle
+    (more iterations allowed, same answer quality), and converge on a
+    system that needs more than one cycle."""
+    import numpy as np
+
+    n = 80
+    a = np.asarray(rng.standard_normal((n, n))) * 0.3 + np.eye(n) * 4.0
+    x_true = np.asarray(rng.standard_normal(n))
+    b = jnp.asarray(a @ x_true)
+    A = jnp.asarray(a)
+    mv = lambda v: A @ v
+
+    full = fgmres(mv, b, rtol=1e-10, maxiter=80)
+    rest = fgmres(mv, b, rtol=1e-10, maxiter=80, restart=12)
+    assert bool(full.converged) and bool(rest.converged)
+    for out in (full, rest):
+        r = np.linalg.norm(a @ np.asarray(out.x) - np.asarray(b))
+        assert r <= 1e-9 * np.linalg.norm(np.asarray(b)), r
+    # restarts may take more total iterations, never fewer than the subspace
+    assert int(rest.iters) >= int(full.iters)
+
+    # restart must also work with a (nonlinear-capable) preconditioner
+    d = jnp.asarray(1.0 / np.diag(a))
+    pc = lambda r: d * r
+    rest_pc = fgmres(mv, b, precond=pc, rtol=1e-10, maxiter=80, restart=12)
+    assert bool(rest_pc.converged)
+    r = np.linalg.norm(a @ np.asarray(rest_pc.x) - np.asarray(b))
+    assert r <= 1e-9 * np.linalg.norm(np.asarray(b)), r

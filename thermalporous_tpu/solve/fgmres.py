@@ -67,21 +67,32 @@ def fgmres(
     rtol: float | jax.Array = 1e-5,
     atol: float | jax.Array = 0.0,
     maxiter: int = 60,
+    restart: int | None = None,
 ) -> FGMRESResult:
     """Solve A x = b with right-preconditioned flexible GMRES.
 
-    Single cycle of ``maxiter`` Arnoldi steps with early exit (restarts are
-    handled by the caller if ever needed; the CPR/CPTR-preconditioned solves
-    this library runs converge in O(10) iterations — [P2]'s premise).
+    ``restart=None`` runs a single cycle of ``maxiter`` Arnoldi steps with
+    early exit — the CPR/CPTR-preconditioned solves this library runs
+    converge in O(10) iterations ([P2]'s premise).  ``restart=r`` runs
+    FGMRES(r) cycles up to a total of ``maxiter`` iterations — PETSc's
+    default KSP behavior (restart 30) and a bandwidth lever: the CGS2
+    orthogonalization streams the full static basis every iteration, so a
+    smaller cycle keeps Krylov traffic ∝ r instead of ∝ maxiter.
 
     Args:
       matvec: v ↦ A v (state-shaped pytree-free array).
       precond: r ↦ M⁻¹ r; identity if None.
       rtol/atol: stop when ||r|| ≤ max(rtol·||b||, atol).
-      maxiter: Krylov dimension m (static).
+      maxiter: total iteration budget (static).
+      restart: cycle size r ≤ maxiter (None = one cycle of maxiter).
     """
     if precond is None:
         precond = lambda r: r
+
+    if restart is not None and int(restart) < int(maxiter):
+        return _fgmres_restarted(
+            matvec, b, precond, x0, rtol, atol, int(maxiter), int(restart)
+        )
 
     m = int(maxiter)
     dtype = b.dtype
@@ -192,4 +203,50 @@ def fgmres(
         res_norm=res,
         converged=converged,
         breakdown=jnp.logical_and(done, jnp.logical_not(converged)),
+    )
+
+
+def _fgmres_restarted(
+    matvec, b, precond, x0, rtol, atol, maxiter: int, r: int
+) -> FGMRESResult:
+    """FGMRES(r) restart cycles up to ``maxiter`` total iterations.
+
+    Each cycle is the single-cycle :func:`fgmres` warm-started from the
+    previous cycle's iterate (one extra matvec per restart for the true
+    residual — the standard restart cost).  The cycle body is traced once
+    inside a ``lax.while_loop``, so compile size does not grow with the
+    number of cycles.
+    """
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    ncycles = -(-maxiter // r)
+    b_norm = _norm(b)
+    tol = jnp.maximum(rtol * b_norm, atol)
+
+    def cond(carry):
+        cyc, x, tot, res, stop = carry
+        return jnp.logical_and(cyc < ncycles, jnp.logical_not(stop))
+
+    def body(carry):
+        cyc, x, tot, res, stop = carry
+        out = fgmres(
+            matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol, maxiter=r
+        )
+        stop = jnp.logical_or(out.converged, out.breakdown)
+        return (cyc + 1, out.x, tot + out.iters, out.res_norm, stop)
+
+    init = (
+        jnp.asarray(0),
+        x0,
+        jnp.asarray(0),
+        _norm(b - matvec(x0)),
+        jnp.asarray(False),
+    )
+    cyc, x, tot, res, stop = jax.lax.while_loop(cond, body, init)
+    converged = res <= tol
+    return FGMRESResult(
+        x=x,
+        iters=tot,
+        res_norm=res,
+        converged=converged,
+        breakdown=jnp.logical_and(stop, jnp.logical_not(converged)),
     )

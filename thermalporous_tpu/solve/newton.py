@@ -34,6 +34,11 @@ class NewtonConfig:
     ksp_rtol: float = 1e-5        # PETSc KSP default
     ksp_atol: float = 0.0
     ksp_maxiter: int = 60
+    # FGMRES(r) restart cycles (None = one cycle of ksp_maxiter).  PETSc's
+    # KSP default is restart 30; here it is also a bandwidth lever — the
+    # CGS2 orthogonalization streams the full static basis every iteration,
+    # so Krylov traffic scales with the cycle size, not the total budget.
+    ksp_restart: int | None = None
     max_backtracks: int = 6
     ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
     # "every": rebuild the preconditioner each Newton iteration (the
@@ -144,6 +149,7 @@ def newton_solve(
             rtol=cfg.ksp_rtol,
             atol=cfg.ksp_atol,
             maxiter=cfg.ksp_maxiter,
+            restart=cfg.ksp_restart,
         )
         dx = result.x
 
