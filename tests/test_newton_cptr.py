@@ -169,3 +169,42 @@ def test_cptr_beats_cpr_thermally_stiff():
             tn += int(st.iters)
         counts[pc] = tk / tn
     assert counts["cptr"] < 0.8 * counts["cpr"], counts
+
+
+def test_blocked_time_loop_bit_exact():
+    """TimeConfig.block_steps>1 runs the adaptive controller in-device
+    (one XLA program per block); trajectory, iteration counts and final
+    state are bit-exact vs the host loop."""
+    import numpy as np
+
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.solve import NewtonConfig, Simulator, TimeConfig
+
+    pp = PhysicalParams()
+    n = 10
+    g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=1e-13, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp, s_init=0.2)
+    ncfg = NewtonConfig(rtol=1e-9, ksp_rtol=1e-7)
+
+    res = {}
+    for bs in (1, 4):
+        sim = Simulator(
+            model, data, precond="cptr", newton_cfg=ncfg,
+            time_cfg=TimeConfig(dt_init=1800.0, block_steps=bs),
+        )
+        res[bs] = sim.run(t_end=8 * 3600.0)
+
+    a, b = res[1], res[4]
+    assert a.steps == b.steps
+    assert abs(a.t - b.t) < 1e-9 * a.t
+    assert a.total_newton == b.total_newton
+    assert a.total_ksp == b.total_ksp
+    assert [r.dt for r in a.records] == [r.dt for r in b.records]
+    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))

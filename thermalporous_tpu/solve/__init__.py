@@ -6,6 +6,8 @@ from thermalporous_tpu.solve.timeloop import (
     Simulator,
     StepRecord,
     TimeConfig,
+    BlockStats,
+    make_block_step_fn,
     make_step_fn,
 )
 
@@ -21,5 +23,7 @@ __all__ = [
     "Simulator",
     "StepRecord",
     "TimeConfig",
+    "BlockStats",
+    "make_block_step_fn",
     "make_step_fn",
 ]

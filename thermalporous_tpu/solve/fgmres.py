@@ -98,8 +98,13 @@ def fgmres(
     dtype = b.dtype
     shape = b.shape
 
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    r0 = b - matvec(x0)
+    if x0 is None:
+        # cold start: r0 = b exactly — skip the matvec against zeros (one
+        # full block-stencil sweep saved per Newton iteration)
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
     beta = _norm(r0)
     b_norm = _norm(b)
     tol = jnp.maximum(rtol * b_norm, atol)

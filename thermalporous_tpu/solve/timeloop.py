@@ -27,7 +27,7 @@ from thermalporous_tpu.precond.cpr import (
     make_preconditioner,
     resolve_adaptive_coarsening,
 )
-from thermalporous_tpu.solve.newton import NewtonConfig, newton_solve
+from thermalporous_tpu.solve.newton import NewtonConfig, NewtonStats, newton_solve
 
 
 def make_step_fn(
@@ -82,6 +82,133 @@ def make_step_fn(
     return advance
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BlockStats:
+    """Per-step telemetry of one jitted multi-step block (arrays of length
+    ``n_steps``; entries beyond the last active step are zero)."""
+
+    newton: jax.Array      # (n,) int32
+    ksp: jax.Array         # (n,) int32
+    retries: jax.Array     # (n,) int32
+    dt_used: jax.Array     # (n,) accepted Δt per step
+    ok: jax.Array          # (n,) bool — step accepted
+    norm0: jax.Array       # (n,) initial residual norm
+    norm: jax.Array        # (n,) final residual norm
+
+
+def make_block_step_fn(
+    model: ThermalModelBase,
+    precond: str = "cptr",
+    newton_cfg: NewtonConfig = NewtonConfig(),
+    pc_cfg: CPRConfig | None = None,
+    time_cfg: "TimeConfig" = None,
+    n_steps: int = 8,
+    fuse: bool = False,
+):
+    """Jitted MULTI-step driver: ``n_steps`` adaptive timesteps — including
+    the Δt controller's grow/cutback/retry logic — as ONE XLA program.
+
+    Why: under the axon tunnel every host dispatch+fetch is a ~40 ms round
+    trip (tools/profile_parts.py: the 'null program' floor), which dominates
+    easy steps whose actual compute is a few ms.  The reference pays an
+    analogous price in Python↔PETSc crossings per step; here the whole
+    controller is scalar arithmetic, so it runs on-device and the host syncs
+    once per block (SURVEY.md §2.1's TPU equivalent, completed).
+
+    Semantics match the host loop in :class:`Simulator.run` exactly: per
+    step, attempt the Newton solve at the current Δt, halve-and-retry on
+    failure (≤ ``max_retries``), then grow/shrink the next Δt by the
+    iteration-count policy.  A step that exhausts its retries marks the
+    block 'dead': subsequent steps no-op and the host raises, as the host
+    loop would.  Reaching ``t_end`` likewise halts in-device.
+
+    Returns ``block(u, dt, t, t_end, data) -> (u, dt, t, dead, BlockStats)``
+    where ``dt``/``t`` are f64 scalars when x64 is live (matching the host
+    loop's Python-float Δt arithmetic bit-for-bit).
+    """
+    tc = time_cfg if time_cfg is not None else TimeConfig()
+    advance = make_step_fn(model, precond, newton_cfg, pc_cfg, fuse=fuse)
+    sdt = jnp.float64 if jax.config.x64_enabled else jnp.float32
+
+    def block(u, dt, t, t_end, data):
+        dt = jnp.asarray(dt, sdt)
+        t = jnp.asarray(t, sdt)
+        t_end = jnp.asarray(t_end, sdt)
+        zi = jnp.zeros((n_steps,), jnp.int32)
+        zf = jnp.zeros((n_steps,), sdt)
+        stats = BlockStats(newton=zi, ksp=zi, retries=zi, dt_used=zf,
+                           ok=jnp.zeros((n_steps,), bool), norm0=zf, norm=zf)
+
+        def step_body(i, carry):
+            u, dt, t, dead, S = carry
+            past_end = t >= t_end - 1e-12 * jnp.maximum(t_end, 1.0)
+            inactive = jnp.logical_or(dead, past_end)
+            dt_eff0 = jnp.minimum(jnp.minimum(dt, tc.dt_max),
+                                  jnp.maximum(t_end - t, tc.dt_min))
+
+            dummy = NewtonStats(
+                iters=jnp.asarray(0), ksp_iters=jnp.asarray(0),
+                norm0=jnp.asarray(0.0, u.dtype),
+                norm=jnp.asarray(0.0, u.dtype),
+                converged=jnp.asarray(False), failed=jnp.asarray(True),
+            )
+
+            def attempt_cond(c):
+                a, dt_try, u_new, st, ok = c
+                return jnp.logical_and(
+                    jnp.logical_not(jnp.logical_or(ok, inactive)),
+                    a <= tc.max_retries,
+                )
+
+            def attempt_body(c):
+                a, dt_try, _, _, _ = c
+                # first pass recovers dt_eff0 (init seeds dt_eff0/cutback);
+                # later passes are the controller's halving retries
+                dt_new = jnp.maximum(dt_try * tc.cutback, tc.dt_min)
+                u2, s2 = advance(u, dt_new.astype(u.dtype), data)
+                return (a + 1, dt_new, u2, s2, jnp.logical_not(s2.failed))
+
+            init = (jnp.asarray(0), dt_eff0 / tc.cutback, u, dummy,
+                    jnp.asarray(False))
+            a, dt_used, u_new, st, ok = jax.lax.while_loop(
+                attempt_cond, attempt_body, init
+            )
+
+            u = jnp.where(ok, u_new, u)
+            t = t + jnp.where(ok, dt_used, 0.0)
+            dead = jnp.logical_or(
+                dead, jnp.logical_and(jnp.logical_not(ok),
+                                      jnp.logical_not(inactive))
+            )
+            grow = st.iters < tc.grow_below
+            shrink = st.iters > tc.shrink_above
+            dt_next = jnp.where(
+                grow, jnp.minimum(dt_used * tc.growth, tc.dt_max),
+                jnp.where(shrink,
+                          jnp.maximum(dt_used * tc.cutback, tc.dt_min),
+                          dt_used),
+            )
+            dt = jnp.where(ok, dt_next, dt)
+            S = BlockStats(
+                newton=S.newton.at[i].set(jnp.where(ok, st.iters, 0)),
+                ksp=S.ksp.at[i].set(jnp.where(ok, st.ksp_iters, 0)),
+                retries=S.retries.at[i].set(jnp.maximum(a - 1, 0)),
+                dt_used=S.dt_used.at[i].set(jnp.where(ok, dt_used, 0.0)),
+                ok=S.ok.at[i].set(ok),
+                norm0=S.norm0.at[i].set(st.norm0.astype(sdt)),
+                norm=S.norm.at[i].set(st.norm.astype(sdt)),
+            )
+            return (u, dt, t, dead, S)
+
+        u, dt, t, dead, stats = jax.lax.fori_loop(
+            0, n_steps, step_body, (u, dt, t, jnp.asarray(False), stats)
+        )
+        return u, dt, t, dead, stats
+
+    return block
+
+
 @dataclasses.dataclass(frozen=True)
 class TimeConfig:
     dt_init: float = 3600.0
@@ -97,6 +224,12 @@ class TimeConfig:
     # saturation clipped to its physical range — the converged answer is
     # unchanged (same rootfind, same tolerance), only the start point moves
     predictor: str = "none"
+    # >1 = advance this many adaptive steps per host dispatch as ONE XLA
+    # program (make_block_step_fn): amortizes the ~40 ms axon host round
+    # trip over the block.  Callbacks/checkpoints then fire at block
+    # boundaries only, per-step wall times are block averages, and the
+    # "linear" predictor is not applied (host-loop-only feature).
+    block_steps: int = 1
 
 
 @dataclasses.dataclass
@@ -156,6 +289,8 @@ class Simulator:
             )
             pc_cfg = resolve_adaptive_coarsening(st, pc_cfg)
         self.pc_cfg = pc_cfg
+        self._precond_name = precond
+        self._fuse = fuse
         fn = make_step_fn(model, precond, newton_cfg, pc_cfg, fuse=fuse)
         self._advance = jax.jit(fn)
         self._advance_from = jax.jit(
@@ -171,6 +306,82 @@ class Simulator:
         if u_guess is None:
             return self._advance(u_old, dt, self.data)
         return self._advance_from(u_old, dt, self.data, u_guess)
+
+    def _run_blocked(self, t_end, u, dt, t, step0, max_steps, callback, verbose):
+        """Block-dispatch run loop: ``tc.block_steps`` adaptive steps per
+        host round trip (see ``make_block_step_fn``)."""
+        tc = self.time_cfg
+        if not hasattr(self, "_block"):
+            self._block = jax.jit(
+                make_block_step_fn(
+                    self.model, self._precond_name, self.newton_cfg,
+                    self.pc_cfg, tc, n_steps=tc.block_steps,
+                    fuse=self._fuse,
+                )
+            )
+        records: list[StepRecord] = []
+        run_start = time.perf_counter()
+        step_idx = step0
+
+        while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
+            blk_start = time.perf_counter()
+            u, dt_a, t_a, dead, stats = self._block(u, dt, t, t_end, self.data)
+            # ONE bulk transfer of the scalar outputs + stats arrays
+            dt, t, dead, stats = jax.device_get((dt_a, t_a, dead, stats))
+            blk_wall = time.perf_counter() - blk_start
+            dt, t = float(dt), float(t)
+            n_ok = int(stats.ok.sum())
+            if n_ok:
+                per_step_wall = blk_wall / n_ok
+                for i in range(tc.block_steps):
+                    if not bool(stats.ok[i]):
+                        continue
+                    step_idx += 1
+                    rec = StepRecord(
+                        step=step_idx,
+                        t=float("nan"),  # filled below (cumulative)
+                        dt=float(stats.dt_used[i]),
+                        newton_iters=int(stats.newton[i]),
+                        ksp_iters=int(stats.ksp[i]),
+                        retries=int(stats.retries[i]),
+                        residual_norm0=float(stats.norm0[i]),
+                        residual_norm=float(stats.norm[i]),
+                        wall_s=per_step_wall,
+                    )
+                    records.append(rec)
+                # cumulative times: walk back from the block-final t
+                acc = t
+                for rec in reversed(records[-n_ok:]):
+                    rec.t = acc
+                    rec.next_dt = dt
+                    acc -= rec.dt
+                if verbose:
+                    last = records[-1]
+                    print(
+                        f"block -> step {step_idx:4d}  t={t:.4e}  "
+                        f"dt={last.dt:.3e}  newton={last.newton_iters}  "
+                        f"ksp={last.ksp_iters}"
+                    )
+                if callback is not None:
+                    # block granularity: one callback with the final state
+                    callback(step_idx, t, u, records[-1])
+            if bool(dead):
+                raise RuntimeError(
+                    f"blocked run: Newton failed and retries were exhausted "
+                    f"near t={t:.4e} (dt={dt:.3e})"
+                )
+            if n_ok == 0:
+                break  # t_end reached inside the block
+
+        return SimResult(
+            u=u,
+            t=t,
+            steps=len(records),
+            records=records,
+            total_newton=sum(r.newton_iters for r in records),
+            total_ksp=sum(r.ksp_iters for r in records),
+            wall_s=time.perf_counter() - run_start,
+        )
 
     def _predict(self, u, u_prev, dt, dt_prev):
         """Linear-extrapolation initial guess, saturation clipped to [0,1]."""
@@ -197,6 +408,10 @@ class Simulator:
         u = self.model.initial_state(self.data) if u0 is None else u0
         t = t0
         dt = tc.dt_init if dt0 is None else dt0
+        if tc.block_steps > 1:
+            return self._run_blocked(
+                t_end, u, dt, t, step0, max_steps, callback, verbose
+            )
         records: list[StepRecord] = []
         run_start = time.perf_counter()
         step_idx = step0
