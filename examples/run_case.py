@@ -30,6 +30,10 @@ def main():
     p.add_argument("--predictor", default=None, choices=[None, "none", "linear"],
                    help="Newton initial guess: linear = extrapolate from the "
                         "previous step (same converged answer, fewer iterations)")
+    p.add_argument("--block-steps", type=int, default=None,
+                   help="advance this many adaptive steps per device dispatch "
+                        "as one XLA program (amortizes host round trips; "
+                        "callbacks then fire per block)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="override jax platform (default: environment)")
     p.add_argument("--x64", action="store_true", default=True)
@@ -93,10 +97,15 @@ def main():
             gmg=gmg,
         )
     time_cfg = case.time_cfg
-    if args.predictor:
+    if args.predictor or args.block_steps:
         import dataclasses as _dc2
 
-        time_cfg = _dc2.replace(time_cfg, predictor=args.predictor)
+        over = {}
+        if args.predictor:
+            over["predictor"] = args.predictor
+        if args.block_steps:
+            over["block_steps"] = args.block_steps
+        time_cfg = _dc2.replace(time_cfg, **over)
     sim = Simulator(
         case.model,
         case.data,

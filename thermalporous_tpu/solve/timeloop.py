@@ -363,8 +363,12 @@ class Simulator:
                         f"ksp={last.ksp_iters}"
                     )
                 if callback is not None:
-                    # block granularity: one callback with the final state
-                    callback(step_idx, t, u, records[-1])
+                    # per-step cadence is preserved (metrics/checkpoint
+                    # `every` filters keep working), but intermediate states
+                    # are not materialized in block mode: every callback in
+                    # the block receives the BLOCK-FINAL state
+                    for rec in records[-n_ok:]:
+                        callback(rec.step, rec.t, u, rec)
             if bool(dead):
                 raise RuntimeError(
                     f"blocked run: Newton failed and retries were exhausted "
