@@ -194,3 +194,67 @@ def test_gmg_replicated_coarse_levels_match():
 
     coarse_diag = setup(shard_state(u0, mesh), shard_problem_data(data, mesh))
     assert coarse_diag.sharding.is_fully_replicated
+
+
+def test_ensemble_axis_matches_single_runs():
+    """The ensemble (parameter-study) axis: vmapped steps over stacked
+    members reproduce each member's solo run exactly — per-member states
+    AND per-member iteration counts — and the ensemble axis shards over
+    the device mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.dist import (
+        make_ensemble_step_fn,
+        shard_ensemble,
+        stack_ensemble,
+    )
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.solve import NewtonConfig, make_step_fn
+
+    pp = PhysicalParams()
+    n = 8
+    g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
+    model = TwoPhaseModel(g, pp, s_init=0.2)
+    cfg = NewtonConfig(rtol=1e-9, ksp_rtol=1e-7)
+
+    rng = np.random.default_rng(3)
+    members = []
+    for e in range(4):
+        wells = [
+            Well(cells=((0, 0),), control="bhp", p_bh=(3.0 + 0.3 * e) * 1e7,
+                 T_inj=400.0 + 10.0 * e),
+            Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+        ]
+        kx = 1e-13 * np.exp(0.4 * rng.standard_normal(g.shape))
+        members.append(make_problem_data(g, pp, kx=kx, phi=0.2, wells=wells))
+
+    dts = [600.0, 900.0, 1200.0, 1500.0]
+    # solo runs
+    solo_step = jax.jit(make_step_fn(model, "cptr", cfg))
+    solo = []
+    for data, dt in zip(members, dts):
+        u0 = model.initial_state(data)
+        u1, st = solo_step(u0, jnp.asarray(dt, u0.dtype), data)
+        solo.append((np.asarray(u1), int(st.iters), int(st.ksp_iters)))
+
+    # ensemble run, sharded over the 8 virtual devices
+    data_e = stack_ensemble(members)
+    u0_e = jnp.stack([model.initial_state(d) for d in members])
+    dt_e = jnp.asarray(dts, u0_e.dtype)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("e",))
+    data_e = shard_ensemble(data_e, mesh)
+    u0_e = shard_ensemble(u0_e, mesh)
+    step_e = jax.jit(make_ensemble_step_fn(model, "cptr", cfg))
+    u1_e, st_e = step_e(u0_e, dt_e, data_e)
+
+    for e in range(4):
+        u_ref, iters_ref, ksp_ref = solo[e]
+        np.testing.assert_allclose(np.asarray(u1_e[e]), u_ref,
+                                   rtol=1e-12, atol=1e-9)
+        assert int(st_e.iters[e]) == iters_ref
+        assert int(st_e.ksp_iters[e]) == ksp_ref

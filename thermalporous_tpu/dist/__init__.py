@@ -1,3 +1,8 @@
+from thermalporous_tpu.dist.ensemble import (
+    make_ensemble_step_fn,
+    shard_ensemble,
+    stack_ensemble,
+)
 from thermalporous_tpu.dist.sharding import (
     field_spec,
     make_grid_mesh,
@@ -8,6 +13,9 @@ from thermalporous_tpu.dist.sharding import (
 )
 
 __all__ = [
+    "make_ensemble_step_fn",
+    "shard_ensemble",
+    "stack_ensemble",
     "field_spec",
     "make_grid_mesh",
     "replicated",

@@ -48,6 +48,10 @@ def main():
         "every-adapt-rbgs": (dict(pc_lag="every"), dict(coarsen="adaptive")),
         "every-adapt-rbgs-deg4": (dict(pc_lag="every"),
                                   dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m48": (dict(pc_lag="every", ksp_maxiter=48),
+                                      dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m40": (dict(pc_lag="every", ksp_maxiter=40),
+                                      dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
