@@ -52,6 +52,8 @@ def main():
                                       dict(coarsen="adaptive", degree=4)),
         "every-adapt-rbgs-deg4-m40": (dict(pc_lag="every", ksp_maxiter=40),
                                       dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m32": (dict(pc_lag="every", ksp_maxiter=32),
+                                      dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
