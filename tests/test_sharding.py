@@ -258,3 +258,62 @@ def test_ensemble_axis_matches_single_runs():
                                    rtol=1e-12, atol=1e-9)
         assert int(st_e.iters[e]) == iters_ref
         assert int(st_e.ksp_iters[e]) == ksp_ref
+
+
+def test_blocked_loop_and_adaptive_coarsening_sharded():
+    """The jitted block time loop and the strength-adaptive coarsening
+    schedule both work under GSPMD: a sharded blocked run reproduces the
+    single-device blocked run's trajectory and iteration counts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.dist import (
+        make_grid_mesh,
+        shard_problem_data,
+        shard_state,
+    )
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.precond import CPRConfig, GMGConfig
+    from thermalporous_tpu.solve import NewtonConfig, Simulator, TimeConfig
+
+    pp = PhysicalParams()
+    nx, ny, nz = 8, 16, 6
+    g = Grid(shape=(nx, ny, nz), spacing=(10.0, 10.0, 1.0), gravity=9.81)
+    rng = np.random.default_rng(11)
+    k = 1e-13 * np.exp(0.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=tuple((0, 0, iz) for iz in range(nz)), control="bhp",
+             p_bh=3.5e7, T_inj=420.0),
+        Well(cells=tuple((nx - 1, ny - 1, iz) for iz in range(nz)),
+             control="bhp", p_bh=1.2e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, kz=0.3 * k, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp)
+    ncfg = NewtonConfig(rtol=1e-8, ksp_rtol=1e-6, ksp_maxiter=60)
+    pc = CPRConfig(gmg=GMGConfig(coarsen="adaptive", max_coarse_cells=32))
+    tc = TimeConfig(dt_init=900.0, block_steps=3)
+
+    def run(data, u0):
+        sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg,
+                        pc_cfg=pc, time_cfg=tc)
+        # the adaptive schedule must have been baked host-side
+        assert sim.pc_cfg.gmg.level_factors is not None
+        return sim.run(t_end=3 * 3600.0, u0=u0)
+
+    u0 = model.initial_state(data)
+    ref = run(data, u0)
+
+    mesh = make_grid_mesh(8)
+    out = run(shard_problem_data(data, mesh), shard_state(u0, mesh))
+
+    assert out.steps == ref.steps
+    assert out.total_newton == ref.total_newton
+    assert out.total_ksp == ref.total_ksp
+    assert [r.dt for r in out.records] == [r.dt for r in ref.records]
+    ref_u, out_u = np.asarray(ref.u), np.asarray(out.u)
+    np.testing.assert_allclose(out_u[0], ref_u[0], atol=10.0)    # p [Pa]
+    np.testing.assert_allclose(out_u[1], ref_u[1], atol=1e-6)    # T [K]
+    np.testing.assert_allclose(out_u[2], ref_u[2], atol=1e-8)    # S_w
