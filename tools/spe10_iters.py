@@ -54,6 +54,10 @@ def main():
                                       dict(coarsen="adaptive", degree=4)),
         "every-adapt-rbgs-deg4-m32": (dict(pc_lag="every", ksp_maxiter=32),
                                       dict(coarsen="adaptive", degree=4)),
+        # standalone-best config (58 iters vs 73 at 1 sweep) — in-step probe
+        # of the documented axon 2-sweep pathology under the new preset
+        "every-adapt-rbgs2-deg4-m40": (dict(pc_lag="every", ksp_maxiter=40),
+                                       dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
@@ -66,7 +70,8 @@ def main():
         ncfg = dataclasses.replace(case.newton_cfg, **n_over)
         pc_kw = dict(inner_iters=2 if name == "every-in2" else 0)
         if name.startswith("every-adapt-rbgs"):
-            pc_kw.update(stage2="rbgs", stage2_sweeps=1)
+            sweeps = 2 if name.startswith("every-adapt-rbgs2") else 1
+            pc_kw.update(stage2="rbgs", stage2_sweeps=sweeps)
         if name == "every-s2rbgs":
             pc_kw.update(stage2="rbgs", stage2_sweeps=1)
         if name == "every-s2rbgs2":
