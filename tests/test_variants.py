@@ -220,3 +220,48 @@ def test_linear_predictor_same_trajectory():
         np.asarray(a.u[2]), np.asarray(b.u[2]), atol=1e-6)       # S_w
     assert b.total_newton <= a.total_newton + 2, (
         b.total_newton, a.total_newton)
+
+
+def test_inner_richardson_preconditioner():
+    """The Richardson inner-iteration CPTR variant (nested-Krylov-free form
+    of [P2]'s inner option) converges FGMRES to the same solution."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.precond import CPRConfig, cpr_apply, cpr_setup
+    from thermalporous_tpu.solve.fgmres import fgmres
+
+    pp = PhysicalParams()
+    n = 10
+    g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=1e-13, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp, s_init=0.2)
+    u = model.initial_state(data)
+    dt = jnp.asarray(3600.0, u.dtype)
+    st = model.assemble_stencil(u, u, dt, data)
+    f = model.residual(u, u, dt, data)
+    bnorm = float(jnp.linalg.norm(f))
+
+    iters = {}
+    for name, cfg in [
+        ("single", CPRConfig()),
+        ("richardson2", CPRConfig(inner_iters=2, inner_method="richardson")),
+        ("fgmres2", CPRConfig(inner_iters=2)),
+    ]:
+        state = cpr_setup(st, cfg)
+        res = fgmres(st.matvec, -f,
+                     precond=lambda r, s=state, c=cfg: cpr_apply(s, r, c),
+                     rtol=1e-9, maxiter=80)
+        assert bool(res.converged), name
+        rnorm = float(jnp.linalg.norm(st.matvec(res.x) + f))
+        assert rnorm <= 1e-8 * bnorm, (name, rnorm)
+        iters[name] = int(res.iters)
+    # inner iterations must not be worse than the single pass
+    assert iters["richardson2"] <= iters["single"], iters

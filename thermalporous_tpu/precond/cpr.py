@@ -62,12 +62,19 @@ class CPRConfig:
     #              whole stencil row (the reference's other variant)
     #   "abf"    — full diagonal-block inverse (alternate block factorization)
     decoupling: str = "qimpes"
-    # [P2] §5 option: run a few FGMRES iterations on the decoupled (p,T)
+    # [P2] §5 option: run a few inner iterations on the decoupled (p,T)
     # subsystem in stage 1 (preconditioned by the block-triangular GMG
     # combination) instead of a single application.  0 = single pass (the
     # default two-stage CPTR); k>0 = k inner iterations.
     inner_iters: int = 0
     inner_rtol: float = 1e-2
+    # "fgmres" is [P2]'s literal variant; "richardson" iterates
+    # z ← z + M(r − A·z) — same subspace idea without a nested Krylov
+    # solver, which matters on axon: the triple-nested fgmres
+    # (inner-fgmres inside the preconditioner inside the outer fgmres's
+    # while_loop) miscomputes at full-SPE10 size (docs/parity.md caveat),
+    # while the stationary form avoids that pattern.
+    inner_method: str = "fgmres"
     gmg: GMGConfig = GMGConfig()
 
 
@@ -183,7 +190,14 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
     # stage 1 on the elliptic block(s)
     if cfg.variant == "cptr":
         r_pt = w[0:2]
-        if cfg.inner_iters > 0:
+        if cfg.inner_iters > 0 and cfg.inner_method == "richardson":
+            # preconditioned Richardson on the (p,T) subsystem: one block
+            # application + (k−1) defect corrections
+            e_pt = _stage1_pt(state, r_pt, cfg)
+            for _ in range(cfg.inner_iters - 1):
+                d = r_pt - state.pt.matvec(e_pt)
+                e_pt = e_pt + _stage1_pt(state, d, cfg)
+        elif cfg.inner_iters > 0:
             # [P2]'s inner-iteration option: a few FGMRES steps on the
             # decoupled (p,T) subsystem, preconditioned by the single-pass
             # block combination (lazy import: solve ← precond at call time)

@@ -58,6 +58,12 @@ def main():
         # of the documented axon 2-sweep pathology under the new preset
         "every-adapt-rbgs2-deg4-m40": (dict(pc_lag="every", ksp_maxiter=40),
                                        dict(coarsen="adaptive", degree=4)),
+        # [P2] inner-GMRES stage 1 in-step under the new preset (anomaly probe)
+        "every-adapt-rbgs-deg4-in2": (dict(pc_lag="every", ksp_maxiter=40),
+                                      dict(coarsen="adaptive", degree=4)),
+        # Richardson inner iterations: nested-Krylov-free inner option
+        "every-adapt-rbgs-deg4-rich2": (dict(pc_lag="every", ksp_maxiter=40),
+                                        dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
@@ -68,7 +74,9 @@ def main():
     for name in names:
         n_over, g_over = variants[name]
         ncfg = dataclasses.replace(case.newton_cfg, **n_over)
-        pc_kw = dict(inner_iters=2 if name == "every-in2" else 0)
+        pc_kw = dict(inner_iters=2 if "in2" in name else 0)
+        if "rich2" in name:
+            pc_kw.update(inner_iters=2, inner_method="richardson")
         if name.startswith("every-adapt-rbgs"):
             sweeps = 2 if name.startswith("every-adapt-rbgs2") else 1
             pc_kw.update(stage2="rbgs", stage2_sweeps=sweeps)
