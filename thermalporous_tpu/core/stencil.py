@@ -61,11 +61,25 @@ class BlockStencil:
         )
 
     def block(self, rows: slice, cols: slice) -> "BlockStencil":
-        """Extract a sub-block stencil (e.g. the (p,T) 2×2 system for CPTR)."""
+        """Extract a sub-block stencil (e.g. the (p,T) 2×2 system for CPTR).
+
+        Built by explicit per-entry stacking rather than a 2-axis slice
+        view: probing the axon in-step anomaly (docs/parity.md) — the
+        sliced form's matvec miscomputes inside the Newton while_loop at
+        full-SPE10 size, so this constructs a different HLO shape.
+        """
+        ri = range(*rows.indices(self.nc))
+        ci = range(*cols.indices(self.nc))
+
+        def sub(a):
+            return jnp.stack(
+                [jnp.stack([a[i, j] for j in ci]) for i in ri]
+            )
+
         return BlockStencil(
-            diag=self.diag[rows, cols],
-            upper=tuple(u[rows, cols] for u in self.upper),
-            lower=tuple(l[rows, cols] for l in self.lower),
+            diag=sub(self.diag),
+            upper=tuple(sub(u) for u in self.upper),
+            lower=tuple(sub(l) for l in self.lower),
         )
 
     def diag_inverse(self) -> jax.Array:
