@@ -68,6 +68,8 @@ VARIANTS = {
                                     ksp_maxiter=24), dict(degree=4), False),
     "stencil-every-deg4-m16": (dict(krylov_op="stencil", pc_lag="every",
                                     ksp_maxiter=16), dict(degree=4), False),
+    "stencil-every-pallas-deg4": (dict(krylov_op="stencil_pallas",
+                                       pc_lag="every"), dict(degree=4), False),
     # restarted FGMRES: small-basis traffic with the full iteration budget
     "stencil-every-deg4-r16": (dict(krylov_op="stencil", pc_lag="every",
                                     ksp_maxiter=48, ksp_restart=16),
