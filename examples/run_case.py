@@ -30,6 +30,9 @@ def main():
     p.add_argument("--predictor", default=None, choices=[None, "none", "linear"],
                    help="Newton initial guess: linear = extrapolate from the "
                         "previous step (same converged answer, fewer iterations)")
+    p.add_argument("--ds-max", type=float, default=None,
+                   help="Appleyard saturation chop: per-Newton-iteration "
+                        "|dS| clamp (two-phase models; 0 disables)")
     p.add_argument("--block-steps", type=int, default=None,
                    help="advance this many adaptive steps per device dispatch "
                         "as one XLA program (amortizes host round trips; "
@@ -96,6 +99,13 @@ def main():
             decoupling=args.decoupling or base.decoupling,
             gmg=gmg,
         )
+    newton_cfg = case.newton_cfg
+    if args.ds_max is not None:
+        import dataclasses as _dc3
+
+        newton_cfg = _dc3.replace(
+            newton_cfg, ds_max=args.ds_max if args.ds_max > 0 else None
+        )
     time_cfg = case.time_cfg
     if args.predictor or args.block_steps:
         import dataclasses as _dc2
@@ -111,7 +121,7 @@ def main():
         case.data,
         precond=args.precond or case.precond,
         pc_cfg=pc_cfg,
-        newton_cfg=case.newton_cfg,
+        newton_cfg=newton_cfg,
         time_cfg=time_cfg,
         fuse=args.fuse,
     )
@@ -122,9 +132,12 @@ def main():
         u0 = case.model.initial_state(case.data)
         writer.write(0.0, state_fields(case.model, u0))
         callbacks.append(
+            # rec.state_consistent: block-mode intermediate records carry a
+            # later state than their clock — write only consistent pairs
             lambda step, t, u, rec: (
                 writer.write(t, state_fields(case.model, u))
                 if step % args.vtk_every == 0
+                and getattr(rec, "state_consistent", True)
                 else None
             )
         )

@@ -127,3 +127,22 @@ def test_fgmres_restarted_matches_single_cycle(rng):
     assert bool(rest_pc.converged)
     r = np.linalg.norm(a @ np.asarray(rest_pc.x) - np.asarray(b))
     assert r <= 1e-9 * np.linalg.norm(np.asarray(b)), r
+
+def test_fgmres_restarted_respects_maxiter_budget(rng):
+    """Total restarted iterations never exceed maxiter (PETSc max_it
+    semantics): the final partial cycle is capped dynamically."""
+    import numpy as np
+
+    n = 120
+    # hard unpreconditioned system: needs far more than the budget
+    a = np.asarray(rng.standard_normal((n, n))) * 0.8 + np.eye(n) * 1.5
+    b = jnp.asarray(np.asarray(rng.standard_normal(n)))
+    A = jnp.asarray(a)
+    mv = lambda v: A @ v
+
+    # 40-budget with r=16 previously allowed ceil(40/16)*16 = 48
+    out = fgmres(mv, b, rtol=1e-14, maxiter=40, restart=16)
+    assert int(out.iters) <= 40, int(out.iters)
+    # ... and an exactly-divisible budget still runs all cycles
+    out2 = fgmres(mv, b, rtol=1e-14, maxiter=32, restart=16)
+    assert int(out2.iters) <= 32

@@ -145,6 +145,7 @@ def test_resume_continues_trajectory_exactly(tmp_path):
     """A run interrupted at a checkpoint and resumed reproduces the
     uninterrupted run bit-exactly (state, clock, and Δt controller)."""
     import numpy as np
+    import pytest
 
     from tests.test_newton_cptr import _sp_case
     from thermalporous_tpu.io import load_checkpoint
@@ -168,3 +169,54 @@ def test_resume_continues_trajectory_exactly(tmp_path):
     full_dts = [r.dt for r in full.records]
     resumed_dts = [r.dt for r in part.records] + [r.dt for r in resumed.records]
     np.testing.assert_allclose(resumed_dts, full_dts)
+
+
+def test_block_mode_checkpoints_are_state_consistent(tmp_path):
+    """block_steps>1 materializes only the block-final state; checkpoints
+    must pair state and clock consistently (ADVICE r2 medium): a resume
+    from a block-mode checkpoint reproduces the uninterrupted run."""
+    import numpy as np
+    import pytest
+
+    from thermalporous_tpu.core import Grid
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.solve import NewtonConfig, Simulator, TimeConfig
+
+    pp = PhysicalParams()
+    n = 8
+    g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=1e-13, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp, s_init=0.2)
+    ncfg = NewtonConfig(rtol=1e-9, ksp_rtol=1e-7)
+    tc = TimeConfig(dt_init=1800.0, block_steps=3)
+    t_end = 8 * 3600.0
+
+    def mk_sim():
+        return Simulator(model, data, precond="cptr", newton_cfg=ncfg,
+                         time_cfg=tc)
+
+    # full run for reference
+    ref = mk_sim().run(t_end=t_end)
+
+    # run with every-step checkpointing: only block-final records (whose u
+    # matches their t) may be written
+    mgr = CheckpointManager(str(tmp_path), every=1, keep=100)
+    res = mk_sim().run(t_end=t_end, callback=mgr)
+    n_final_records = sum(1 for r in res.records if r.state_consistent)
+    import glob as _glob
+    written = sorted(_glob.glob(str(tmp_path / "ckpt_*.npz")))
+    assert len(written) == n_final_records
+    assert 0 < len(written) < res.steps  # intermediate records skipped
+
+    # resume from a mid-run checkpoint: trajectory must rejoin the
+    # uninterrupted run exactly (state AND clock were consistent)
+    u0, t0, dt0, step0, _ = load_checkpoint(written[-2])
+    cont = mk_sim().run(t_end=t_end, u0=u0, dt0=dt0, t0=t0, step0=step0)
+    assert cont.t == pytest.approx(ref.t, rel=1e-12)
+    np.testing.assert_allclose(np.asarray(cont.u), np.asarray(ref.u),
+                               rtol=0, atol=1e-9)

@@ -208,3 +208,45 @@ def test_blocked_time_loop_bit_exact():
     assert a.total_ksp == b.total_ksp
     assert [r.dt for r in a.records] == [r.dt for r in b.records]
     np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+
+
+def test_blocked_partial_final_step_no_overshoot():
+    """A final partial step smaller than dt_min must land exactly on t_end
+    in block mode (the host loop's min(dt, t_end - t) clip, no dt_min
+    floor) — previously the block overshot by up to dt_min."""
+    from thermalporous_tpu.solve import TimeConfig
+
+    model, data = _sp_case(n=8)
+    # dt grows 1800 -> ... ; dt_min large enough that the last partial
+    # step (t_end not on the trajectory) is below it
+    t_end = 5 * 3600.0 + 737.0
+    res = {}
+    for bs in (1, 4):
+        sim = Simulator(
+            model, data, precond="cptr",
+            time_cfg=TimeConfig(dt_init=1800.0, dt_min=1500.0,
+                                block_steps=bs),
+        )
+        res[bs] = sim.run(t_end=t_end)
+    assert res[4].t == pytest.approx(t_end, rel=1e-12)
+    assert res[1].t == pytest.approx(t_end, rel=1e-12)
+    assert [r.dt for r in res[1].records] == [r.dt for r in res[4].records]
+    np.testing.assert_array_equal(np.asarray(res[1].u), np.asarray(res[4].u))
+
+
+def test_blocked_gives_up_at_dt_min_like_host():
+    """When cutbacks bottom out at dt_min and still fail, the block must
+    raise just as the host loop does (same give-up condition), instead of
+    burning all max_retries at the floor."""
+    from thermalporous_tpu.solve import TimeConfig
+
+    model, data = _tp_case(n=8)
+    tc = dict(dt_init=1.0e9, dt_min=2.0e8, cutback=0.5, max_retries=12)
+    ncfg = NewtonConfig(max_iters=6, ksp_maxiter=30)
+    for bs in (1, 4):
+        sim = Simulator(
+            model, data, precond="cptr", newton_cfg=ncfg,
+            time_cfg=TimeConfig(block_steps=bs, **tc),
+        )
+        with pytest.raises(RuntimeError):
+            sim.run(t_end=2.0e9, max_steps=10)

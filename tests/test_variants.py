@@ -1,5 +1,7 @@
 """Preconditioner decoupling variants, lagged PC, and utils."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -265,3 +267,57 @@ def test_inner_richardson_preconditioner():
         iters[name] = int(res.iters)
     # inner iterations must not be worse than the single pass
     assert iters["richardson2"] <= iters["single"], iters
+
+
+def test_appleyard_chop_same_answer_and_bounds():
+    """The Appleyard saturation chop (NewtonConfig.ds_max) is
+    globalization only: the converged answer matches the unchopped run to
+    solver tolerance, saturations stay in [0, 1], and on an aggressively
+    large step the chopped Newton still converges."""
+    model, data = _tp_case(n=8)
+    dts = [3600.0, 4.0 * 3600.0]
+    oracle_states = oracle_run(model, data, dts)
+
+    sim = Simulator(model, data, precond="cptr",
+                    newton_cfg=dataclasses.replace(TIGHT, ds_max=0.05))
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, u_ref)
+    s = np.asarray(u[2])
+    assert s.min() >= -1e-9 and s.max() <= 1.0 + 1e-9
+
+    # hard step: strong drive + multi-day dt — the chop must not break
+    # convergence (and should help the front cells stay physical)
+    sim_hard = Simulator(
+        model, data, precond="cptr",
+        newton_cfg=NewtonConfig(max_iters=25, ksp_maxiter=60, ds_max=0.2),
+    )
+    u2, st2 = sim_hard.step(model.initial_state(data), 2.0e5)
+    assert bool(st2.converged)
+    s2 = np.asarray(u2[2])
+    assert s2.min() >= -1e-9 and s2.max() <= 1.0 + 1e-9
+
+
+def test_predictor_tolerance_anchored_at_step_start():
+    """A predictor guess must not move the rtol anchor (ADVICE r2): with a
+    guess, reported norm0 (and hence the convergence target) equals the
+    step-start residual norm, not the typically-much-smaller guess
+    residual."""
+    model, data = _tp_case(n=8)
+    sim = Simulator(model, data, precond="cptr",
+                    newton_cfg=NewtonConfig(rtol=1e-8, ksp_rtol=1e-6))
+    u0 = model.initial_state(data)
+    dt = 1800.0
+    u1, st_plain = sim.step(u0, dt)
+    # a near-solution guess (the converged u1 nudged back toward u0)
+    guess = u1 + 0.05 * (u0 - u1)
+    _, st_guess = sim.step(u0, dt, guess)
+    # anchor equality: both runs report the SAME step-start norm0 ...
+    np.testing.assert_allclose(float(st_guess.norm0),
+                               float(st_plain.norm0), rtol=1e-12)
+    # ... so the good guess converges in fewer iterations (a guess-anchored
+    # rtol would have tightened tol ~20x here and cost iterations instead)
+    assert int(st_guess.iters) <= int(st_plain.iters)
+    assert bool(st_guess.converged)

@@ -59,6 +59,11 @@ class CheckpointManager:
     def __call__(self, step: int, t: float, u, record):
         if step % self.every:
             return
+        # intermediate records of a jitted multi-step block pair a LATER
+        # state with this record's clock — checkpointing them would break
+        # exact resume, so only state-consistent records are snapshotted
+        if not getattr(record, "state_consistent", True):
+            return
         path = os.path.join(self.directory, f"{self.name}_{step:07d}.npz")
         # saving the controller's NEXT dt makes a resumed run continue the
         # uninterrupted trajectory exactly

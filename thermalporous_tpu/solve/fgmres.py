@@ -68,6 +68,7 @@ def fgmres(
     atol: float | jax.Array = 0.0,
     maxiter: int = 60,
     restart: int | None = None,
+    iter_cap: jax.Array | None = None,
 ) -> FGMRESResult:
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -85,6 +86,10 @@ def fgmres(
       rtol/atol: stop when ||r|| ≤ max(rtol·||b||, atol).
       maxiter: total iteration budget (static).
       restart: cycle size r ≤ maxiter (None = one cycle of maxiter).
+      iter_cap: optional TRACED iteration cap ≤ maxiter for this call
+        (storage stays maxiter-shaped; only the loop bound tightens) —
+        used by the restarted driver so its final partial cycle cannot
+        overrun the total budget.
     """
     if precond is None:
         precond = lambda r: r
@@ -121,9 +126,11 @@ def fgmres(
     V = V.at[0].set(r0 / safe_beta)
     g = g.at[0].set(beta)
 
+    jmax = m if iter_cap is None else jnp.minimum(m, iter_cap)
+
     def cond(carry):
         j, V, Z, H, cs, sn, g, res, done = carry
-        return jnp.logical_and(j < m, jnp.logical_not(done))
+        return jnp.logical_and(j < jmax, jnp.logical_not(done))
 
     axes = tuple(range(1, b.ndim + 1))
 
@@ -220,9 +227,12 @@ def _fgmres_restarted(
     previous cycle's iterate (one extra matvec per restart for the true
     residual — the standard restart cost).  The cycle body is traced once
     inside a ``lax.while_loop``, so compile size does not grow with the
-    number of cycles.
+    number of cycles; the final partial cycle is capped dynamically so
+    total iterations never exceed ``maxiter`` (PETSc's ``max_it``
+    semantics).
     """
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    cold = x0 is None
+    x0 = jnp.zeros_like(b) if cold else x0
     ncycles = -(-maxiter // r)
     b_norm = _norm(b)
     tol = jnp.maximum(rtol * b_norm, atol)
@@ -234,16 +244,21 @@ def _fgmres_restarted(
     def body(carry):
         cyc, x, tot, res, stop = carry
         out = fgmres(
-            matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol, maxiter=r
+            matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol,
+            maxiter=r, iter_cap=jnp.minimum(r, maxiter - tot),
         )
-        stop = jnp.logical_or(out.converged, out.breakdown)
-        return (cyc + 1, out.x, tot + out.iters, out.res_norm, stop)
+        tot = tot + out.iters
+        stop = jnp.logical_or(
+            jnp.logical_or(out.converged, out.breakdown), tot >= maxiter
+        )
+        return (cyc + 1, out.x, tot, out.res_norm, stop)
 
     init = (
         jnp.asarray(0),
         x0,
         jnp.asarray(0),
-        _norm(b - matvec(x0)),
+        # cold start: r0 = b exactly — no matvec needed for the seed norm
+        b_norm if cold else _norm(b - matvec(x0)),
         jnp.asarray(False),
     )
     cyc, x, tot, res, stop = jax.lax.while_loop(cond, body, init)

@@ -41,6 +41,18 @@ class NewtonConfig:
     ksp_restart: int | None = None
     max_backtracks: int = 6
     ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
+    # Appleyard-style saturation chop (None = off): per-cell clamp of the
+    # saturation component of each Newton update to |ΔS| ≤ ds_max, and of
+    # the target saturation to [0, 1].  Line search alone globalizes badly
+    # on day-scale reservoir steps — a uniform α must shrink the WHOLE
+    # update to tame a handful of front cells — while the chop is local, so
+    # the rest of the domain keeps its full Newton step.  Standard
+    # production-simulator practice (Appleyard/ECLIPSE heuristic; the
+    # reference delegates globalization to PETSc SNES line search only —
+    # SURVEY.md §2.13 — which is exactly what fails past dt≈21 h on full
+    # SPE10, docs/parity.md).  Applied via the ``chop`` hook that
+    # make_step_fn wires for models with a saturation component.
+    ds_max: float | None = None
     # "every": rebuild the preconditioner each Newton iteration (the
     # reference's behavior); "step": build once from the step's initial
     # state and reuse — the common "frozen CPR" production trade: the Krylov
@@ -86,6 +98,8 @@ def newton_solve(
     u0: jax.Array,
     cfg: NewtonConfig = NewtonConfig(),
     scale: jax.Array | None = None,
+    norm_from: jax.Array | None = None,
+    chop: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
 ) -> tuple[jax.Array, NewtonStats]:
     """Solve residual(u) = 0 starting from ``u0``.
 
@@ -99,6 +113,16 @@ def newton_solve(
         (dimensionless "fraction of cell content per step"), and a
         dtype-aware absolute floor is applied so float32 runs terminate at
         their rounding floor instead of stalling.
+      norm_from: optional state whose residual anchors the rtol-based
+        tolerance (and reported ``norm0``) instead of ``u0``'s.  The
+        predictor path passes the PHYSICAL step start here so an
+        extrapolated initial guess — whose residual is typically much
+        smaller — does not silently tighten the convergence target.
+      chop: optional per-iteration update limiter ``(u, dx) -> dx`` applied
+        to the Newton direction BEFORE the line search (PETSc's
+        SNESLineSearchPostCheck slot; used for the Appleyard saturation
+        chop, see ``NewtonConfig.ds_max``).  Must leave dx a descent
+        direction in the active region — clamps qualify.
     """
 
     # convergence/line-search norms accumulate in f64 under f32 state when
@@ -117,7 +141,10 @@ def newton_solve(
         atol = max(cfg.atol, 50.0 * eps)
 
     f0 = residual(u0)
-    nrm0 = norm(f0)
+    nrm_start = norm(f0)
+    # rtol anchors on the step-start residual, not the (possibly
+    # extrapolated) guess — both loops below still iterate on nrm_start
+    nrm0 = norm(residual(norm_from)) if norm_from is not None else nrm_start
     tol = jnp.maximum(cfg.rtol * nrm0, atol)
 
     frozen_pcs = pc_setup(assemble(u0)) if cfg.pc_lag == "step" else None
@@ -152,6 +179,8 @@ def newton_solve(
             restart=cfg.ksp_restart,
         )
         dx = result.x
+        if chop is not None:
+            dx = chop(u, dx)
 
         def ls_cond(c):
             alpha, tries, accepted, u_t, f_t, n_t = c
@@ -180,7 +209,8 @@ def newton_solve(
         n_new = jnp.where(failed_now, nrm, n_new)
         return (u_new, f_new, n_new, k + 1, ksp + result.iters, failed_now)
 
-    carry = (u0, f0, nrm0, jnp.asarray(0), jnp.asarray(0), jnp.asarray(False))
+    carry = (u0, f0, nrm_start, jnp.asarray(0), jnp.asarray(0),
+             jnp.asarray(False))
     u, f, nrm, k, ksp, failed = jax.lax.while_loop(cond, body, carry)
 
     converged = nrm <= tol

@@ -67,6 +67,20 @@ def make_step_fn(
         def jvp_at_factory(u_old, dt, data):
             return lambda u: model.jvp(u, u_old, dt, data)
 
+    chop = None
+    if newton_cfg.ds_max is not None and model.nc >= 3:
+        ds_max = float(newton_cfg.ds_max)
+
+        def chop(u, dx):
+            # Appleyard chop: clamp |ΔS_w| per cell, and the post-update
+            # saturation to its physical range.  concatenate (not .at[2])
+            # — strided in-step views miscompile on axon at scale
+            # (CLAUDE.md "slice-view miscompile")
+            s = u[2]
+            ds = jnp.clip(dx[2], -ds_max, ds_max)
+            ds = jnp.clip(ds, -s, 1.0 - s)
+            return jnp.concatenate([dx[:2], ds[None]], axis=0)
+
     def advance(u_old, dt, data, u_guess=None):
         return newton_solve(
             residual=residual_at(u_old, dt, data),
@@ -77,6 +91,11 @@ def make_step_fn(
             u0=u_old if u_guess is None else u_guess,
             cfg=newton_cfg,
             scale=model.residual_scales(u_old, dt, data),
+            # a predictor guess moves only the start point: anchor the
+            # rtol target on the physical step start so the converged
+            # tolerance is identical to an unpredicted run
+            norm_from=None if u_guess is None else u_old,
+            chop=chop,
         )
 
     return advance
@@ -144,8 +163,13 @@ def make_block_step_fn(
             u, dt, t, dead, S = carry
             past_end = t >= t_end - 1e-12 * jnp.maximum(t_end, 1.0)
             inactive = jnp.logical_or(dead, past_end)
+            # clip to the remaining time exactly as the host loop does
+            # (min(dt, dt_max, t_end - t), NO dt_min floor — flooring here
+            # would overshoot t_end by up to dt_min on the final partial
+            # step); the tiny floor only guards against a non-positive Δt
+            # in the traced-but-inactive case, where it is never used
             dt_eff0 = jnp.minimum(jnp.minimum(dt, tc.dt_max),
-                                  jnp.maximum(t_end - t, tc.dt_min))
+                                  jnp.maximum(t_end - t, 1e-30))
 
             dummy = NewtonStats(
                 iters=jnp.asarray(0), ksp_iters=jnp.asarray(0),
@@ -156,20 +180,28 @@ def make_block_step_fn(
 
             def attempt_cond(c):
                 a, dt_try, u_new, st, ok = c
+                # give up like the host loop: retries exhausted, OR the
+                # last attempt already failed at the dt_min floor (the
+                # host raises on `dt <= dt_min` after a failure even with
+                # retries remaining — run(), dt_min check below)
+                at_floor = jnp.logical_and(a > 0, dt_try <= tc.dt_min)
                 return jnp.logical_and(
                     jnp.logical_not(jnp.logical_or(ok, inactive)),
-                    a <= tc.max_retries,
+                    jnp.logical_and(a <= tc.max_retries,
+                                    jnp.logical_not(at_floor)),
                 )
 
             def attempt_body(c):
                 a, dt_try, _, _, _ = c
-                # first pass recovers dt_eff0 (init seeds dt_eff0/cutback);
-                # later passes are the controller's halving retries
-                dt_new = jnp.maximum(dt_try * tc.cutback, tc.dt_min)
+                # first pass uses dt_eff0 EXACTLY (no dt_min floor — the
+                # host's final partial step can be below dt_min); later
+                # passes are the controller's floored halving retries
+                dt_new = jnp.where(a == 0, dt_eff0,
+                                   jnp.maximum(dt_try * tc.cutback, tc.dt_min))
                 u2, s2 = advance(u, dt_new.astype(u.dtype), data)
                 return (a + 1, dt_new, u2, s2, jnp.logical_not(s2.failed))
 
-            init = (jnp.asarray(0), dt_eff0 / tc.cutback, u, dummy,
+            init = (jnp.asarray(0), dt_eff0, u, dummy,
                     jnp.asarray(False))
             a, dt_used, u_new, st, ok = jax.lax.while_loop(
                 attempt_cond, attempt_body, init
@@ -246,6 +278,12 @@ class StepRecord:
     residual_norm: float
     wall_s: float
     next_dt: float = 0.0  # controller's Δt for the FOLLOWING step (resume)
+    # True when the ``u`` passed alongside this record is the state AT
+    # ``t``.  False only for the intermediate records of a jitted
+    # multi-step block (block_steps>1), whose states are never
+    # materialized — state-consuming callbacks (checkpoints, VTK) must
+    # skip those or they would pair a later state with an earlier clock.
+    state_consistent: bool = True
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -362,11 +400,13 @@ class Simulator:
                         f"dt={last.dt:.3e}  newton={last.newton_iters}  "
                         f"ksp={last.ksp_iters}"
                     )
+                # intermediate states are not materialized in block mode:
+                # every callback receives the BLOCK-FINAL u, so only the
+                # final record is marked state-consistent; CheckpointManager/
+                # PVDWriter skip the others (metrics keeps per-step cadence)
+                for rec in records[-n_ok:-1]:
+                    rec.state_consistent = False
                 if callback is not None:
-                    # per-step cadence is preserved (metrics/checkpoint
-                    # `every` filters keep working), but intermediate states
-                    # are not materialized in block mode: every callback in
-                    # the block receives the BLOCK-FINAL state
                     for rec in records[-n_ok:]:
                         callback(rec.step, rec.t, u, rec)
             if bool(dead):
