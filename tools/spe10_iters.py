@@ -64,6 +64,18 @@ def main():
         # Richardson inner iterations: nested-Krylov-free inner option
         "every-adapt-rbgs-deg4-rich2": (dict(pc_lag="every", ksp_maxiter=40),
                                         dict(coarsen="adaptive", degree=4)),
+        # round-3: Appleyard saturation chop on the production preset —
+        # the dt≳21 h wall is Newton divergence (fronts leave the ball of
+        # convergence), which the per-cell |dS| clamp targets directly
+        "every-adapt-rbgs-deg4-m40-ds02": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m40-ds01": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.1),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m40-ds02-n24": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24),
+            dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
