@@ -69,6 +69,7 @@ def fgmres(
     maxiter: int = 60,
     restart: int | None = None,
     iter_cap: jax.Array | None = None,
+    basis_dtype=None,
 ) -> FGMRESResult:
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -90,18 +91,37 @@ def fgmres(
         (storage stays maxiter-shaped; only the loop bound tightens) —
         used by the restarted driver so its final partial cycle cannot
         overrun the total budget.
+      basis_dtype: optional storage dtype for the Arnoldi basis V (e.g.
+        ``jnp.bfloat16``).  The CGS2 orthogonalization streams the FULL
+        static (m+1)-slot basis four times per iteration — the dominant
+        HBM traffic of a preconditioned solve (BASELINE.md roofline) — so
+        halving the basis bytes halves the top line.  Projections run as
+        bf16×bf16 contractions with f32 accumulation (the MXU-native
+        shape); matvec/preconditioner/Hessenberg/solution stay in the
+        compute dtype, and the CGS2 second pass mops up the extra
+        O(eps_bf16) non-orthogonality.  The flexible basis Z (written and
+        read once per slot) stays in the compute dtype so the returned x
+        loses nothing.  CAVEAT: the Arnoldi relation holds only to the
+        basis rounding, so the TRUE achievable relative residual is
+        floored at O(eps_bf16) ≈ 4e-3 — honest only at loose tolerances
+        (the production ksp_rtol=1e-3 inexact-Newton regime, where the
+        nonlinear loop absorbs linear inexactness; tests/test_fgmres.py).
+        None = store V in the compute dtype.
     """
     if precond is None:
         precond = lambda r: r
 
     if restart is not None and int(restart) < int(maxiter):
         return _fgmres_restarted(
-            matvec, b, precond, x0, rtol, atol, int(maxiter), int(restart)
+            matvec, b, precond, x0, rtol, atol, int(maxiter), int(restart),
+            basis_dtype=basis_dtype,
         )
 
     m = int(maxiter)
     dtype = b.dtype
     shape = b.shape
+    bd = jnp.dtype(basis_dtype) if basis_dtype is not None else dtype
+    mixed = bd != dtype
 
     if x0 is None:
         # cold start: r0 = b exactly — skip the matvec against zeros (one
@@ -114,8 +134,9 @@ def fgmres(
     b_norm = _norm(b)
     tol = jnp.maximum(rtol * b_norm, atol)
 
-    # Krylov storage: V (m+1) basis vectors, Z m preconditioned vectors.
-    V = jnp.zeros((m + 1,) + shape, dtype=dtype)
+    # Krylov storage: V (m+1) basis vectors (optionally low-precision, see
+    # ``basis_dtype``), Z m preconditioned vectors (compute dtype).
+    V = jnp.zeros((m + 1,) + shape, dtype=bd)
     Z = jnp.zeros((m,) + shape, dtype=dtype)
     H = jnp.zeros((m + 1, m), dtype=dtype)
     cs = jnp.zeros((m,), dtype=dtype)
@@ -123,7 +144,7 @@ def fgmres(
     g = jnp.zeros((m + 1,), dtype=dtype)
 
     safe_beta = jnp.where(beta > 0, beta, 1.0)
-    V = V.at[0].set(r0 / safe_beta)
+    V = V.at[0].set((r0 / safe_beta).astype(bd))
     g = g.at[0].set(beta)
 
     jmax = m if iter_cap is None else jnp.minimum(m, iter_cap)
@@ -136,7 +157,7 @@ def fgmres(
 
     def body(carry):
         j, V, Z, H, cs, sn, g, res, done = carry
-        z = precond(V[j])
+        z = precond(V[j].astype(dtype))
         w = matvec(z)
         Z = Z.at[j].set(z)
 
@@ -145,16 +166,34 @@ def fgmres(
         # over the whole basis — 4 sweeps of V instead of m+1 dependent dots
         # per iteration — and CGS2 matches MGS stability in practice.  Unused
         # basis slots are zero, so masking beyond j is exact.
-        # These batched projections stay in the COMPUTE dtype deliberately:
+        # These batched projections stay in the BASIS dtype deliberately:
         # the second CGS pass already restores orthogonality to O(eps), and
-        # upcasting the (m+1, N) contraction to emulated f64 would forfeit
-        # the f32 bandwidth it rides on.  The f64 accumulation lives in the
-        # scalar-producing _dot/_norm (beta, ||b||, h_next, Givens inputs),
-        # where it sets the convergence decision (tests/test_fgmres.py
-        # asserts f32-with-f64-reductions iteration parity with full f64).
-        active = (jnp.arange(m + 1) <= j).astype(w.dtype)
+        # upcasting the (m+1, N) contraction would forfeit the bandwidth it
+        # rides on (with bf16 storage the contraction is bf16×bf16 with
+        # f32 accumulation — the MXU-native shape).  The f64 accumulation
+        # lives in the scalar-producing _dot/_norm (beta, ||b||, h_next,
+        # Givens inputs), where it sets the convergence decision
+        # (tests/test_fgmres.py asserts f32-with-f64-reductions iteration
+        # parity with full f64).
+        active = (jnp.arange(m + 1) <= j).astype(dtype)
+        Vf = V.reshape((m + 1, -1))
 
         def orth(w):
+            if mixed:
+                wf = w.reshape((-1,)).astype(bd)
+                h = jax.lax.dot_general(
+                    Vf, wf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                ) * active
+                # the reconstruction multiplies by bf16-rounded h, so H
+                # records the rounded values — the Arnoldi relation then
+                # reflects what was actually subtracted
+                hb = h.astype(bd)
+                delta = jax.lax.dot_general(
+                    hb, Vf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                ).reshape(shape)
+                return w - delta, hb.astype(dtype)
             h = jnp.tensordot(V, w, axes=(axes, tuple(range(b.ndim)))) * active
             return w - jnp.tensordot(h, V, axes=(0, 0)), h
 
@@ -163,7 +202,10 @@ def fgmres(
         H = H.at[:, j].set(h1 + h2)
         h_next = _norm(w)
         breakdown = h_next <= 1e-300
-        V = V.at[j + 1].set(jnp.where(breakdown, 0.0, w / jnp.where(breakdown, 1.0, h_next)))
+        V = V.at[j + 1].set(
+            jnp.where(breakdown, 0.0,
+                      w / jnp.where(breakdown, 1.0, h_next)).astype(bd)
+        )
         H = H.at[j + 1, j].set(h_next)
 
         # apply previous Givens rotations to the new column
@@ -219,7 +261,8 @@ def fgmres(
 
 
 def _fgmres_restarted(
-    matvec, b, precond, x0, rtol, atol, maxiter: int, r: int
+    matvec, b, precond, x0, rtol, atol, maxiter: int, r: int,
+    basis_dtype=None,
 ) -> FGMRESResult:
     """FGMRES(r) restart cycles up to ``maxiter`` total iterations.
 
@@ -246,6 +289,7 @@ def _fgmres_restarted(
         out = fgmres(
             matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol,
             maxiter=r, iter_cap=jnp.minimum(r, maxiter - tot),
+            basis_dtype=basis_dtype,
         )
         tot = tot + out.iters
         stop = jnp.logical_or(

@@ -39,6 +39,13 @@ class NewtonConfig:
     # CGS2 orthogonalization streams the full static basis every iteration,
     # so Krylov traffic scales with the cycle size, not the total budget.
     ksp_restart: int | None = None
+    # Arnoldi-basis storage dtype: "same" (compute dtype) or "bf16".  The
+    # CGS2 sweeps stream the full static basis 4× per FGMRES iteration —
+    # the solve's dominant HBM traffic (BASELINE.md roofline) — and bf16
+    # storage halves it; projections accumulate in f32 (MXU-native) and
+    # the second CGS pass absorbs the coarser basis rounding.  The
+    # flexible basis Z and the solution stay full precision.
+    ksp_basis: str = "same"
     max_backtracks: int = 6
     ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
     # Appleyard-style saturation chop (None = off): per-cell clamp of the
@@ -177,6 +184,7 @@ def newton_solve(
             atol=cfg.ksp_atol,
             maxiter=cfg.ksp_maxiter,
             restart=cfg.ksp_restart,
+            basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
         )
         dx = result.x
         if chop is not None:

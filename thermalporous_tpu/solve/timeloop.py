@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import numpy as np
 from typing import Callable
 
 import jax
@@ -70,16 +71,21 @@ def make_step_fn(
     chop = None
     if newton_cfg.ds_max is not None and model.nc >= 3:
         ds_max = float(newton_cfg.ds_max)
+        # component mask instead of slicing/concatenating the state axis:
+        # leading-axis slice+concat of the update INSIDE the Newton
+        # while_loop stalls FGMRES from the first iteration at ~1M-cell
+        # scale on axon (measured, tools/spe10_iters.py r3 — same lowering
+        # family as the fixed BlockStencil.block slice-view miscompile);
+        # the pure-elementwise form is also the faster lowering
+        comp = np.arange(model.nc).reshape((model.nc,) + (1,) * model.grid.dim)
+        is_sat = jnp.asarray(comp == 2)
 
         def chop(u, dx):
             # Appleyard chop: clamp |ΔS_w| per cell, and the post-update
-            # saturation to its physical range.  concatenate (not .at[2])
-            # — strided in-step views miscompile on axon at scale
-            # (CLAUDE.md "slice-view miscompile")
-            s = u[2]
-            ds = jnp.clip(dx[2], -ds_max, ds_max)
-            ds = jnp.clip(ds, -s, 1.0 - s)
-            return jnp.concatenate([dx[:2], ds[None]], axis=0)
+            # saturation to its physical range
+            ds = jnp.clip(dx, -ds_max, ds_max)
+            ds = jnp.clip(ds, -u, 1.0 - u)
+            return jnp.where(is_sat, ds, dx)
 
     def advance(u_old, dt, data, u_guess=None):
         return newton_solve(

@@ -70,6 +70,19 @@ VARIANTS = {
                                     ksp_maxiter=16), dict(degree=4), False),
     "stencil-every-pallas-deg4": (dict(krylov_op="stencil_pallas",
                                        pc_lag="every"), dict(degree=4), False),
+    # Appleyard saturation chop on the bench workload's hard doubling steps
+    "stencil-every-deg4-ds02": (dict(krylov_op="stencil", pc_lag="every",
+                                     ds_max=0.2), dict(degree=4), False),
+    # bf16 basis + chop: the round-3 production candidate
+    "stencil-every-deg4-bf16-ds02": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ds_max=0.2), dict(degree=4), False),
+    # bf16 Arnoldi-basis storage: halves the dominant CGS2 streaming
+    # traffic; f32 accumulation, Z/solution stay f32 (round-3 roofline)
+    "stencil-every-deg4-bf16": (dict(krylov_op="stencil", pc_lag="every",
+                                     ksp_basis="bf16"), dict(degree=4), False),
+    "stencil-every-bf16":      (dict(krylov_op="stencil", pc_lag="every",
+                                     ksp_basis="bf16"), dict(), False),
     # restarted FGMRES: small-basis traffic with the full iteration budget
     "stencil-every-deg4-r16": (dict(krylov_op="stencil", pc_lag="every",
                                     ksp_maxiter=48, ksp_restart=16),
