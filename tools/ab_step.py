@@ -108,6 +108,9 @@ def run_variant(name, model, data, u0, nsteps):
     pc_cfg = CPRConfig(gmg=GMGConfig(**gkw), **pc_kw)
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg, fuse=fuse))
 
+    import os
+
+    growth = float(os.environ.get("AB_GROWTH", "1.5"))
     u = u0
     dt = 600.0
     u, stats = step(u, jnp.asarray(dt, u0.dtype), data)
@@ -118,7 +121,7 @@ def run_variant(name, model, data, u0, nsteps):
     t_sim = 0.0
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        dt *= 1.5
+        dt *= growth
         u_new, stats = step(u, jnp.asarray(dt, u0.dtype), data)
         stats = jax.device_get(stats)
         retries = 0

@@ -76,6 +76,19 @@ def main():
         "every-adapt-rbgs-deg4-m40-ds02-n24": (
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24),
             dict(coarsen="adaptive", degree=4)),
+        # chop + NONMONOTONE acceptance: the ECLIPSE-style combination —
+        # the clamped update is not a global descent direction while the
+        # front advances, so Armijo rejects it in iteration 1 (measured);
+        # nonmonotone accepts the physics-bounded update and polices
+        # divergence by blow-up instead
+        "every-adapt-rbgs-deg4-m40-ds02-nm": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone"),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m48-ds02-nm": (
+            dict(pc_lag="every", ksp_maxiter=48, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone"),
+            dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
