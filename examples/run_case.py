@@ -33,6 +33,10 @@ def main():
     p.add_argument("--ds-max", type=float, default=None,
                    help="Appleyard saturation chop: per-Newton-iteration "
                         "|dS| clamp (two-phase models; 0 disables)")
+    p.add_argument("--ls-mode", default=None,
+                   choices=[None, "armijo", "nonmonotone"],
+                   help="line-search acceptance (nonmonotone pairs with "
+                        "--ds-max on hard saturation fronts)")
     p.add_argument("--block-steps", type=int, default=None,
                    help="advance this many adaptive steps per device dispatch "
                         "as one XLA program (amortizes host round trips; "
@@ -100,12 +104,15 @@ def main():
             gmg=gmg,
         )
     newton_cfg = case.newton_cfg
-    if args.ds_max is not None:
+    if args.ds_max is not None or args.ls_mode:
         import dataclasses as _dc3
 
-        newton_cfg = _dc3.replace(
-            newton_cfg, ds_max=args.ds_max if args.ds_max > 0 else None
-        )
+        over = {}
+        if args.ds_max is not None:
+            over["ds_max"] = args.ds_max if args.ds_max > 0 else None
+        if args.ls_mode:
+            over["ls_mode"] = args.ls_mode
+        newton_cfg = _dc3.replace(newton_cfg, **over)
     time_cfg = case.time_cfg
     if args.predictor or args.block_steps:
         import dataclasses as _dc2

@@ -81,6 +81,14 @@ class GMGConfig:
     # the host-side caller (Simulator / cpr.resolve_adaptive_coarsening) to
     # bake a matrix-dependent ``level_factors`` schedule before jitting.
     coarsen: str = "geometric"
+    # grid transfer: "constant" = injection P / summation R (baseline);
+    # "weighted" = Kwak/BoxMG-style operator-weighted prolongation with the
+    # same summation R — coarse operators leave the 5/7-point class and
+    # become wide (9/27-point) stencils via 3^dim-colour Galerkin probing
+    # (precond/transfer.py; SURVEY.md §7 hard part 1).  On wide levels only
+    # chebyshev/jacobi smoothing is available (rbgs/line colourings assume
+    # axis-aligned couplings); other smoothers fall back to chebyshev there.
+    transfer: str = "constant"
     # multi-chip coarse-level strategy (SURVEY.md §5.8): levels at/below
     # this many cells are constrained FULLY REPLICATED (one all-gather at
     # the restriction that crosses the threshold), so deep-cycle smoothing
@@ -95,9 +103,12 @@ class GMGConfig:
 class GMGState:
     """Per-Newton-iteration multigrid hierarchy (a pytree)."""
 
-    stencils: tuple[ScalarStencil, ...]
+    stencils: tuple  # ScalarStencil level 0; WideStencil below if weighted
     lam_max: tuple[jax.Array, ...]
     coarse_inv: jax.Array  # dense inverse of the coarsest operator
+    # per fine-level tuple of AxisWeights|None when transfer="weighted",
+    # else an empty tuple (static pytree structure per config)
+    transfers: tuple = ()
 
 
 def _blocksum(
@@ -280,22 +291,30 @@ def _maybe_replicate_level(st: ScalarStencil, cfg: GMGConfig) -> ScalarStencil:
 def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
     """Build the multigrid hierarchy for one stencil (per Newton iteration)."""
     stencils = [_maybe_replicate_level(st, cfg)]
+    transfers = []
     while (
         math.prod(stencils[-1].grid_shape) > cfg.max_coarse_cells
         and len(stencils) < cfg.max_levels
         and any(n > 1 for n in stencils[-1].grid_shape)
     ):
-        stencils.append(
-            _maybe_replicate_level(
-                galerkin_coarsen(
-                    stencils[-1],
-                    _level_factors(
-                        stencils[-1].grid_shape, cfg, level=len(stencils) - 1
-                    ),
-                ),
-                cfg,
+        level = stencils[-1]
+        factors = _level_factors(level.grid_shape, cfg, level=len(stencils) - 1)
+        if cfg.transfer == "weighted":
+            from thermalporous_tpu.precond.transfer import (
+                galerkin_wide,
+                transfer_weights,
             )
-        )
+
+            w = transfer_weights(level, factors)
+            coarse_shape = tuple(
+                -(-n // 2) if f == 2 else n
+                for n, f in zip(level.grid_shape, factors)
+            )
+            transfers.append(w)
+            nxt = galerkin_wide(level, w, coarse_shape)
+        else:
+            nxt = galerkin_coarsen(level, factors)
+        stencils.append(_maybe_replicate_level(nxt, cfg))
 
     lam_max = tuple(gershgorin_lambda_max(s) for s in stencils[:-1])
     # Dense inverse, not an LU: the K-cycle visits the coarsest level many
@@ -307,11 +326,16 @@ def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
         stencils=tuple(stencils),
         lam_max=lam_max,
         coarse_inv=jnp.linalg.inv(dense),
+        transfers=tuple(transfers),
     )
 
 
-def _mv(st: ScalarStencil, v, cfg: GMGConfig):
-    if cfg.use_pallas:
+def _is_wide(st) -> bool:
+    return not isinstance(st, ScalarStencil)
+
+
+def _mv(st, v, cfg: GMGConfig):
+    if cfg.use_pallas and not _is_wide(st):
         from thermalporous_tpu.kernels import matvec as pallas_matvec
 
         return pallas_matvec(st, v)
@@ -319,8 +343,15 @@ def _mv(st: ScalarStencil, v, cfg: GMGConfig):
 
 
 def _smooth(st, lam, b, x, cfg: GMGConfig):
+    if _is_wide(st) and cfg.smoother not in ("chebyshev", "jacobi"):
+        # rbgs/line/zebra colourings assume axis-aligned couplings; wide
+        # (box-support) levels smooth with Chebyshev instead
+        return chebyshev(
+            st, b, x, degree=cfg.degree, lam_max=lam,
+            lam_min_frac=cfg.lam_min_frac,
+        )
     if cfg.smoother == "chebyshev":
-        if cfg.use_pallas:
+        if cfg.use_pallas and not _is_wide(st):
             from thermalporous_tpu.kernels import chebyshev_smooth
 
             return chebyshev_smooth(
@@ -396,7 +427,12 @@ def _v_cycle(state: GMGState, level: int, b: jax.Array, cfg: GMGConfig) -> jax.A
         # the all-gather that moves the cycle onto replicated coarse levels
         rc = _replicated(rc, cfg)
     ec = _coarse_correction(state, level + 1, rc, cfg)
-    x = x + _prolong(ec, fine, factors)
+    if state.transfers:
+        from thermalporous_tpu.precond.transfer import prolong_weighted
+
+        x = x + prolong_weighted(ec, fine, state.transfers[level])
+    else:
+        x = x + _prolong(ec, fine, factors)
     return _smooth(st, lam, b, x, cfg)
 
 

@@ -225,9 +225,16 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         # ksp_maxiter=40: the deg-4 adaptive preset needs ≤38.5 FGMRES per
         # Newton across the ramp, and the CGS2 sweeps stream the full
         # static basis — cap 40 vs 60 measured +19% sustained throughput
-        # on the same trajectory (tools/spe10_iters.py)
+        # on the same trajectory; cap 48 re-measured round 3 with the chop:
+        # same trajectory, -10% t_sim/wall (tools/spe10_iters.py).
+        # ds_max + nonmonotone (round-3 measured): Appleyard chop with
+        # nonmonotone acceptance — best time-to-solution on the doubling
+        # ramp (7001x vs 6466x realtime), converges repeatedly at
+        # dt=38400s where Armijo+chop always fails, and hard-step failures
+        # detect cheaply (docs/parity.md round-3 table)
         newton_cfg=NewtonConfig(atol=3e-5, ksp_maxiter=40, max_iters=16,
-                                pc_lag="every"),
+                                pc_lag="every", ds_max=0.2,
+                                ls_mode="nonmonotone"),
         pc_cfg=CPRConfig(
             stage2="rbgs",
             gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,

@@ -83,6 +83,11 @@ VARIANTS = {
                                      ksp_basis="bf16"), dict(degree=4), False),
     "stencil-every-bf16":      (dict(krylov_op="stencil", pc_lag="every",
                                      ksp_basis="bf16"), dict(), False),
+    # bf16 basis at a tolerance it can honestly reach (its true-residual
+    # floor is ~4e-3): rtol 1e-2 stops where the basis precision allows
+    "stencil-every-deg4-bf16-ksp2": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4), False),
     # restarted FGMRES: small-basis traffic with the full iteration budget
     "stencil-every-deg4-r16": (dict(krylov_op="stencil", pc_lag="every",
                                     ksp_maxiter=48, ksp_restart=16),

@@ -31,7 +31,11 @@ def main():
     dtype = jnp.float32
     data = jax.tree.map(lambda a: a.astype(dtype) if hasattr(a, "astype") else a, data)
 
-    ncfg = dataclasses.replace(case.newton_cfg, pc_lag="every")
+    # warmup uses plain Armijo without the chop: the diagnostic's weak
+    # default warmup PC trips the nonmonotone blow-up guard that the
+    # production preset (stronger PC) does not
+    ncfg = dataclasses.replace(case.newton_cfg, pc_lag="every",
+                               ds_max=None, ls_mode="armijo")
     sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg,
                     pc_cfg=CPRConfig(gmg=GMGConfig(cycle_type="k",
                                                    max_coarse_cells=1024)))

@@ -89,6 +89,17 @@ def main():
             dict(pc_lag="every", ksp_maxiter=48, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone"),
             dict(coarsen="adaptive", degree=4)),
+        # looser forcing term (ksp_rtol 1e-2) and bf16 basis on top of the
+        # nm-chop production candidate: measured +43% time-to-solution on
+        # the 1024² doubling bench workload (tools/ab_step.py r3)
+        "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
