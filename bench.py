@@ -80,8 +80,17 @@ def main():
     # workload (5.7M vs 13.2M cu/s: doubling creates steps whose solves
     # need the full 40-space, and cutback retries burn wall).  The artifact
     # keeps the robust 40-cap.
-    cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-3, ksp_maxiter=40,
-                       max_iters=14, pc_lag="every", krylov_op="stencil")
+    # Round-3 forcing-term + basis-precision levers (tools/ab_step.py,
+    # identical accepted trajectory, Newton counts unchanged): ksp_rtol
+    # 1e-2 — the classic inexact-Newton forcing term; Newton convergence
+    # still gates on the TRUE residual (rtol/atol below) — is +24%
+    # time-to-solution on this workload, and bf16 Arnoldi-basis storage
+    # (honest at this tolerance: its true-residual floor is ~4e-3) adds
+    # +15% more by halving the dominant CGS2 streaming traffic:
+    # 13.4M -> 18.7M cell-updates/s.
+    cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-2, ksp_maxiter=40,
+                       max_iters=14, pc_lag="every", krylov_op="stencil",
+                       ksp_basis="bf16")
     # degree-4 Chebyshev smoothing: measured 47% better time-to-solution on
     # the hard end of the ramp (fewer Δt cutbacks AND less wall; see
     # BASELINE.md round-2 A/B table) at no cost in the easy regime

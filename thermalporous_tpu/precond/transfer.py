@@ -177,9 +177,19 @@ def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
 
 
 def _subsample(x: jax.Array, axes: tuple[int, ...]) -> jax.Array:
-    """Even-index subsample along ``axes`` (tensor-form weight reduction)."""
+    """Even-index subsample along ``axes`` (tensor-form weight reduction).
+
+    Implemented as even-mask × pairwise block-sum, NOT a strided slice:
+    strided views inside the jitted Newton loop miscompile on axon at
+    ~1M-cell scale (the BlockStencil.block family, CLAUDE.md), and this
+    masked form is the same lowering the (proven) restriction uses.
+    """
+    from thermalporous_tpu.precond.gmg import _blocksum
+
     for a in axes:
-        x = jax.lax.slice_in_dim(x, 0, x.shape[a], stride=2, axis=a)
+        mask = _even_mask(x.shape, a, x.dtype)
+        fac = tuple(2 if i == a else 1 for i in range(x.ndim))
+        x = _blocksum(x * mask, x.shape, fac)
     return x
 
 
@@ -267,31 +277,47 @@ def galerkin_wide(
         for a in range(dim)
     ]
 
-    probes = []
+    # one vmapped probe body instead of 3^dim unrolled copies: the
+    # weighted hierarchy is rebuilt inside the jitted Newton loop, and an
+    # unrolled probe loop over every level blows up remote compile time
+    masks = []
     for k in itertools.product((0, 1, 2), repeat=dim):
         mask = jnp.ones(coarse_shape, dtype=dtype)
         for a in range(dim):
             mask = mask * (idx[a] % 3 == k[a]).astype(dtype)
-        y = _blocksum(
-            st.matvec(prolong_weighted(mask, fine_shape, weights)),
+        masks.append(mask)
+    Y = jax.vmap(
+        lambda m: _blocksum(
+            st.matvec(prolong_weighted(m, fine_shape, weights)),
             fine_shape,
             factors,
         )
-        probes.append(y)
-    Y = jnp.stack(probes)  # (3^dim, *coarse)
+    )(jnp.stack(masks))  # (3^dim, *coarse)
 
-    # colour of the neighbour each offset points to, per cell
-    coefs = []
+    # colour of the neighbour each offset points to, per cell — pure index
+    # arithmetic, so precomputed as CONSTANT numpy index/mask arrays (the
+    # traced program sees a static gather, nothing data-dependent)
+    import numpy as np
+
+    nidx = [
+        np.arange(coarse_shape[a]).reshape(
+            tuple(coarse_shape[a] if i == a else 1 for i in range(dim))
+        )
+        for a in range(dim)
+    ]
+    kflats, insides = [], []
     for off in itertools.product((0, 1, 2), repeat=dim):
-        kflat = jnp.zeros(coarse_shape, dtype=jnp.int32)
-        inside = jnp.ones(coarse_shape, dtype=bool)
+        kflat = np.zeros(coarse_shape, dtype=np.int32)
+        inside = np.ones(coarse_shape, dtype=bool)
         for a in range(dim):
-            j = idx[a] + (off[a] - 1)
-            kflat = kflat * 3 + (j % 3).astype(jnp.int32)
-            inside = jnp.logical_and(
-                inside, jnp.logical_and(j >= 0, j < coarse_shape[a])
-            )
-        c = jnp.take_along_axis(Y, kflat[None], axis=0)[0]
-        coefs.append(jnp.where(inside, c, 0.0))
-    coef = jnp.stack(coefs).reshape((3,) * dim + coarse_shape)
-    return WideStencil(coef=coef)
+            j = nidx[a] + (off[a] - 1)
+            kflat = kflat * 3 + (j % 3).astype(np.int32)
+            inside = inside & (j >= 0) & (j < coarse_shape[a])
+        kflats.append(kflat)
+        insides.append(inside)
+    coef = jax.vmap(
+        lambda kf, ins: jnp.where(
+            ins, jnp.take_along_axis(Y, kf[None], axis=0)[0], 0.0
+        )
+    )(jnp.asarray(np.stack(kflats)), jnp.asarray(np.stack(insides)))
+    return WideStencil(coef=coef.reshape((3,) * dim + coarse_shape))

@@ -31,20 +31,23 @@ def main():
     dtype = jnp.float32
     data = jax.tree.map(lambda a: a.astype(dtype) if hasattr(a, "astype") else a, data)
 
-    # warmup uses plain Armijo without the chop: the diagnostic's weak
-    # default warmup PC trips the nonmonotone blow-up guard that the
-    # production preset (stronger PC) does not
-    ncfg = dataclasses.replace(case.newton_cfg, pc_lag="every",
-                               ds_max=None, ls_mode="armijo")
-    sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg,
-                    pc_cfg=CPRConfig(gmg=GMGConfig(cycle_type="k",
-                                                   max_coarse_cells=1024)))
+    # warmup on the production preset PC (adaptive + RBGS + deg4) with
+    # retrying Δt control: the diagnostic's state prep must not be
+    # brittle to a single hard step
+    sim = Simulator(model, data, precond="cptr", newton_cfg=case.newton_cfg,
+                    pc_cfg=case.pc_cfg)
     u = model.initial_state(data, dtype=dtype)
     dt = 600.0
-    for _ in range(5):
-        u, stats = sim.step(u, dt)
-        assert bool(jax.device_get(stats).converged)
-        dt *= 2.0
+    accepted = 0
+    while accepted < 5:
+        u_new, stats = sim.step(u, dt)
+        if bool(jax.device_get(stats).converged):
+            u = u_new
+            accepted += 1
+            dt *= 2.0
+        else:
+            dt *= 0.5
+            assert dt > 1.0, "warmup cutback spiral"
 
     dt_j = jnp.asarray(dt_hard, dtype)
 
@@ -103,6 +106,12 @@ def main():
           CPRConfig(gmg=GMGConfig(coarsen="adaptive", cycle_type="v",
                                   max_coarse_cells=1024)))
     A = dict(coarsen="adaptive", **K)
+    solve("adaptive deg4 s2rbgs WEIGHTED-P",
+          CPRConfig(stage2="rbgs",
+                    gmg=GMGConfig(degree=4, transfer="weighted", **A)))
+    solve("geometric deg4 s2rbgs WEIGHTED-P",
+          CPRConfig(stage2="rbgs",
+                    gmg=GMGConfig(degree=4, transfer="weighted", **K)))
     solve("adaptive + s2 rbgs", CPRConfig(stage2="rbgs", gmg=GMGConfig(**A)))
     solve("adaptive + s2 rbgs x2",
           CPRConfig(stage2="rbgs", stage2_sweeps=2, gmg=GMGConfig(**A)))

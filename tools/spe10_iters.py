@@ -100,6 +100,15 @@ def main():
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
             dict(coarsen="adaptive", degree=4)),
+        # + operator-weighted prolongation (wide coarse stencils)
+        "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-wp": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4, transfer="weighted")),
+        "every-adapt-rbgs-deg4-m40-ds02-nm-wp": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone"),
+            dict(coarsen="adaptive", degree=4, transfer="weighted")),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
