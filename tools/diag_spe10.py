@@ -12,6 +12,11 @@ from __future__ import annotations
 import sys
 
 import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
