@@ -161,6 +161,78 @@ def test_weighted_transfer_helps_on_contrast(rng):
     assert iters["weighted"] <= iters["constant"], iters
 
 
+def test_axis_weights_parent_floor():
+    """Regression for the full-SPE10 diagonal collapse: the parent weight
+    must never drop below ½.
+
+    Without the floor in `_axis_weights`, a child whose SIBLING face is
+    (nearly) impermeable while its outer face is huge gets w_self → 0 —
+    it defers almost fully to the neighbouring coarse cell.  Under
+    summation restriction the Galerkin coarse diagonal then loses its
+    diffusion contribution while off-diagonals keep theirs; measured on
+    full SPE10 (10⁶ channelized contrast, f32): row-sum/|diag| ratios
+    reach 1e9 across levels, the Gershgorin/power λ estimate overflows,
+    and the Chebyshev smoother NaNs (CPU and TPU alike).  With the floor
+    the parent stays dominant and the hierarchy is well-posed
+    (tools/diag_wp.py on tp_spe10_full: all levels finite, λ ∈ [2, 21])."""
+    from thermalporous_tpu.precond.transfer import _axis_weights
+
+    wl = jnp.asarray([[1e8, 1e-6, 3.0, 0.0]])   # outer couplings (-a)
+    wr = jnp.asarray([[1e-6, 1e8, 1.0, 0.0]])   # sibling couplings (+a)
+    aw = _axis_weights(wl, wr, a=1)
+    w = np.asarray(aw.w_self)[0]
+    # even child 0: sibling tiny vs outer huge — pre-fix w_self ≈ 3e-14
+    assert w[0] == pytest.approx(0.5)
+    # odd child 1: mirrored pathology
+    assert w[1] == pytest.approx(0.5)
+    # homogeneous-ish cell: classic cell-centred 3/4 parent weight
+    assert w[2] == pytest.approx(3.0 / (3.0 + 3.0 / 1.0), abs=0.3)
+    # fully decoupled cell: pure parent injection
+    assert w[3] == pytest.approx(1.0)
+    np.testing.assert_allclose(
+        np.asarray(aw.w_self + aw.w_out), 1.0, atol=1e-12
+    )
+    assert float(jnp.min(aw.w_self)) >= 0.5
+
+
+def test_weighted_hierarchy_wellposed_on_channelized_f32():
+    """The weighted hierarchy stays finite in f32 on a channelized
+    SPE10-like field (the production dtype and contrast structure)."""
+    from thermalporous_tpu.data.spe10 import synthetic_spe10
+    from thermalporous_tpu.core.stencil import ScalarStencil
+    from thermalporous_tpu.precond.gmg import GMGConfig, gmg_apply, gmg_setup
+
+    fields = synthetic_spe10(shape=(32, 32, 16), seed=3)
+    kx = np.asarray(fields.kx, dtype=np.float32)
+    shape = kx.shape
+    uppers, lowers = [], []
+    diag = np.full(shape, 1e-3, np.float32)
+    for a in range(3):
+        t = 2.0 * np.minimum(kx, np.roll(kx, -1, axis=a)) / 1e-13
+        idx = np.arange(shape[a]).reshape(
+            tuple(shape[a] if i == a else 1 for i in range(3)))
+        t = (t * (idx < shape[a] - 1)).astype(np.float32)
+        lo = np.roll(t, 1, axis=a) * (idx > 0)
+        uppers.append(jnp.asarray(-t))
+        lowers.append(jnp.asarray(-lo))
+        diag = diag + t + lo
+    st = ScalarStencil(diag=jnp.asarray(diag),
+                       upper=tuple(uppers), lower=tuple(lowers))
+
+    cfg = GMGConfig(cycle_type="v", degree=2, max_coarse_cells=64,
+                    transfer="weighted")
+    state = gmg_setup(st, cfg)
+    for l, lv in enumerate(state.stencils):
+        arr = lv.coef if hasattr(lv, "coef") else lv.diag
+        assert bool(jnp.all(jnp.isfinite(arr))), f"level {l} coefs"
+    for lam in state.lam_max:
+        assert bool(jnp.isfinite(lam)) and float(lam) > 0.0
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    z = gmg_apply(state, b, cfg)
+    assert bool(jnp.all(jnp.isfinite(z)))
+
+
 def test_cptr_weighted_transfer_matches_oracle():
     """transfer='weighted' is preconditioning only: full CPTR solver
     reproduces the f64 dense oracle."""

@@ -158,10 +158,16 @@ def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
       odd child mirrors.
 
     Heterogeneous limits: impermeable outer face (wl→0) → pure parent
-    injection; impermeable sibling face → pure outer interpolation.
-    Zero-coupling cells inject from the parent.  Measured on a 32²
-    V-cycle (tests/test_transfer.py): Poisson 11→5 FGMRES iterations vs
-    constant transfer, 4-decade layered contrast 26→17.
+    injection; impermeable sibling face → the parent weight is FLOORED at
+    ½: letting a child defer (almost) fully to the neighbouring coarse
+    cell collapses the Galerkin coarse DIAGONAL under summation R —
+    measured on full SPE10 (10⁶ channel contrast): row-sum/|diag| ratios
+    reach 10⁹, Gershgorin λ goes inf and the smoother NaNs, on CPU and
+    TPU alike.  With the floor the parent is never sub-dominant and the
+    hierarchy stays well-posed.  Zero-coupling cells inject from the
+    parent.  Measured on a 32² V-cycle (tests/test_transfer.py): Poisson
+    11→5 FGMRES iterations vs constant transfer, 4-decade layered
+    contrast 26→17 (the floor binds only at extreme in-cell contrast).
     """
     shape = wl.shape
     idx = jnp.arange(shape[a]).reshape(
@@ -172,7 +178,7 @@ def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
     so = 3.0 * wl + wr
     w_par_even = jnp.where(se > 0, 3.0 * wr / jnp.where(se > 0, se, 1.0), 1.0)
     w_par_odd = jnp.where(so > 0, 3.0 * wl / jnp.where(so > 0, so, 1.0), 1.0)
-    w_self = jnp.where(even, w_par_even, w_par_odd)
+    w_self = jnp.maximum(jnp.where(even, w_par_even, w_par_odd), 0.5)
     return AxisWeights(w_self=w_self, w_out=1.0 - w_self)
 
 
