@@ -161,9 +161,23 @@ def newton_solve(
 
     f0 = residual(u0)
     nrm_start = norm(f0)
-    # rtol anchors on the step-start residual, not the (possibly
-    # extrapolated) guess — both loops below still iterate on nrm_start
-    nrm0 = norm(residual(norm_from)) if norm_from is not None else nrm_start
+    if norm_from is not None:
+        # rtol anchors on the step-start residual, not the (possibly
+        # extrapolated) guess.  SAFEGUARD: an extrapolation across an
+        # advancing front under aggressive Δt growth can land OUTSIDE the
+        # step-start residual ball — measured: +3 Newton over a 12 h ramp
+        # (tests/test_variants.py) — so when the guess's residual is worse
+        # than the physical step start's, discard it and start there; the
+        # predictor then costs at most the one residual evaluation this
+        # comparison reuses.  Elementwise where, axon-safe.
+        f_ref = residual(norm_from)
+        nrm0 = norm(f_ref)
+        use_guess = nrm_start <= nrm0
+        u0 = jnp.where(use_guess, u0, norm_from)
+        f0 = jnp.where(use_guess, f0, f_ref)
+        nrm_start = jnp.where(use_guess, nrm_start, nrm0)
+    else:
+        nrm0 = nrm_start
     tol = jnp.maximum(cfg.rtol * nrm0, atol)
 
     frozen_pcs = pc_setup(assemble(u0)) if cfg.pc_lag == "step" else None

@@ -38,6 +38,10 @@ def main():
     )
     from thermalporous_tpu.presets import get_case
 
+    transfer = "weighted"
+    if "--constant" in sys.argv:   # control: is the failure weighted-specific?
+        transfer = "constant"
+        sys.argv.remove("--constant")
     case_name = sys.argv[1] if len(sys.argv) > 1 else "tp_spe10_full"
     case = get_case(case_name)
     model, data = case.model, case.data
@@ -54,7 +58,7 @@ def main():
     pc_cfg = CPRConfig(
         stage2="rbgs",
         gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
-                      coarsen="adaptive", degree=4, transfer="weighted"),
+                      coarsen="adaptive", degree=4, transfer=transfer),
     )
     st0 = model.assemble_stencil(u, u, dt, data)
     pc_cfg = resolve_adaptive_coarsening(st0, pc_cfg)
