@@ -300,30 +300,29 @@ def galerkin_wide(
         )
     )(jnp.stack(masks))  # (3^dim, *coarse)
 
-    # colour of the neighbour each offset points to, per cell — pure index
-    # arithmetic, so precomputed as CONSTANT numpy index/mask arrays (the
-    # traced program sees a static gather, nothing data-dependent)
-    import numpy as np
-
-    nidx = [
-        np.arange(coarse_shape[a]).reshape(
-            tuple(coarse_shape[a] if i == a else 1 for i in range(dim))
-        )
-        for a in range(dim)
-    ]
-    kflats, insides = [], []
+    # Coefficient extraction WITHOUT a data-dependent gather.  Colours are
+    # periodic with period 3 per axis, so every cell in residue class
+    # r ∈ {0,1,2}^dim reads, for offset o, the CONSTANT colour
+    # c(r,o) = colour(r + o - 1 mod 3): the per-cell colour lookup
+    # factors into 3^dim residue masks (the SAME iota products used for
+    # probing) times statically-indexed rows of Y.  The previous
+    # `take_along_axis` gather over the colour axis miscompiles on the
+    # axon TPU at full-SPE10 scale — NaN hierarchy out-of-loop AND a
+    # wrong (λ→1e9) level-1 stencil in-loop, while this masked static
+    # form matches the CPU bit-for-bit (tools/diag_wp.py, round 3; same
+    # lowering family as the BlockStencil.block slice-view bug).
+    coefs = []
     for off in itertools.product((0, 1, 2), repeat=dim):
-        kflat = np.zeros(coarse_shape, dtype=np.int32)
-        inside = np.ones(coarse_shape, dtype=bool)
+        inside = jnp.ones(coarse_shape, dtype=bool)
         for a in range(dim):
-            j = nidx[a] + (off[a] - 1)
-            kflat = kflat * 3 + (j % 3).astype(np.int32)
+            j = idx[a] + (off[a] - 1)
             inside = inside & (j >= 0) & (j < coarse_shape[a])
-        kflats.append(kflat)
-        insides.append(inside)
-    coef = jax.vmap(
-        lambda kf, ins: jnp.where(
-            ins, jnp.take_along_axis(Y, kf[None], axis=0)[0], 0.0
-        )
-    )(jnp.asarray(np.stack(kflats)), jnp.asarray(np.stack(insides)))
-    return WideStencil(coef=coef.reshape((3,) * dim + coarse_shape))
+        acc = jnp.zeros(coarse_shape, dtype=dtype)
+        for ri, r in enumerate(itertools.product((0, 1, 2), repeat=dim)):
+            c = 0
+            for a in range(dim):
+                c = c * 3 + (r[a] + off[a] - 1) % 3
+            acc = acc + masks[ri] * Y[c]
+        coefs.append(jnp.where(inside, acc, 0.0))
+    return WideStencil(coef=jnp.stack(coefs).reshape(
+        (3,) * dim + coarse_shape))

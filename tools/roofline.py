@@ -88,12 +88,16 @@ def main():
         step = jax.jit(make_step_fn(model, "cptr", cfg, pc))
         _, st = step(u, dt_j, data)
         st = jax.device_get(st)
-        assert int(st.ksp_iters) == k_expect, (k_expect, int(st.ksp_iters))
+        k_got = int(st.ksp_iters)
+        # the unreachable rtol usually pins the count at the cap, but a
+        # breakdown guard may exit a couple of iterations early — use the
+        # MEASURED count in the slope rather than asserting the cap
+        assert k_got >= max(1, k_expect - 4), (k_expect, k_got)
         t0 = time.perf_counter()
         for _ in range(reps):
             _, st = step(u, dt_j, data)
             st = jax.device_get(st)
-        return (time.perf_counter() - t0) / reps
+        return (time.perf_counter() - t0) / reps, k_got
 
     print(f"# {n}x{n} f32 two-phase, dt={dt:.0f}s, deg-4 K-cycle CPTR, "
           f"cap {m}, {reps} reps")
@@ -113,10 +117,11 @@ def main():
         # k=1 ran at cap 1 (1 basis slot), k=m at cap m: per-iteration cost
         # AT CAP M comes from the m-run alone minus the fixed intercept;
         # the k=1 run approximates intercept + 1 cheap iteration
-        per_iter_m = (walls[m] - walls[1]) / (m - 1)
-        meas[basis] = (walls[1], walls[m], per_iter_m)
-        print(f"basis={basis:5s}: wall(k=1,cap1)={walls[1]*1e3:7.2f} ms  "
-              f"wall(k={m},cap{m})={walls[m]*1e3:7.2f} ms  "
+        (w1, k1), (wm, km) = walls[1], walls[m]
+        per_iter_m = (wm - w1) / (km - k1)
+        meas[basis] = (w1, wm, per_iter_m)
+        print(f"basis={basis:5s}: wall(k={k1},cap1)={w1*1e3:7.2f} ms  "
+              f"wall(k={km},cap{m})={wm*1e3:7.2f} ms  "
               f"-> per-iter at cap {m} ≈ {per_iter_m*1e3:6.3f} ms")
 
     # ---- bounds
