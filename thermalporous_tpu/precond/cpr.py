@@ -260,7 +260,9 @@ def make_preconditioner(name: str, cfg: CPRConfig | None = None):
                     f"'lu' preconditioner is dense ({n}² entries); use it "
                     "only on tiny grids (debugging/ablation, SURVEY.md §2.1)"
                 )
-            return jnp.linalg.inv(st.to_dense())
+            from thermalporous_tpu.precond.gmg import dense_inv
+
+            return dense_inv(st.to_dense())
 
         def lu_apply(inv, r):
             return (inv @ r.reshape(-1)).reshape(r.shape)

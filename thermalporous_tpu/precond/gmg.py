@@ -288,6 +288,26 @@ def _maybe_replicate_level(st: ScalarStencil, cfg: GMGConfig) -> ScalarStencil:
     return jax.tree.map(lambda a: _replicated(a, cfg), st)
 
 
+def dense_inv(a: jax.Array, refine: int = 2) -> jax.Array:
+    """Dense inverse that compiles on every backend, in every dtype.
+
+    XLA's TPU LuDecomposition only implements f32 (an f64 run — e.g.
+    ``run_case.py --platform tpu`` without ``--f32`` — dies at compile
+    time otherwise).  On non-CPU backends with an f64 operand, seed with
+    the f32 LU inverse and polish with ``refine`` Newton–Schulz steps
+    X ← X(2I − AX): pure MXU matmuls, and the inverse error squares per
+    step (f32 seed ~1e-7 → ~1e-14 after one step), restoring f64
+    accuracy without LAPACK.  Everything else takes the direct path.
+    """
+    if a.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        x = jnp.linalg.inv(a.astype(jnp.float32)).astype(jnp.float64)
+        eye = jnp.eye(a.shape[-1], dtype=jnp.float64)
+        for _ in range(refine):
+            x = x @ (2.0 * eye - a @ x)
+        return x
+    return jnp.linalg.inv(a)
+
+
 def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
     """Build the multigrid hierarchy for one stencil (per Newton iteration)."""
     stencils = [_maybe_replicate_level(st, cfg)]
@@ -325,7 +345,7 @@ def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
     return GMGState(
         stencils=tuple(stencils),
         lam_max=lam_max,
-        coarse_inv=jnp.linalg.inv(dense),
+        coarse_inv=dense_inv(dense),
         transfers=tuple(transfers),
     )
 

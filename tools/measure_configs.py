@@ -85,8 +85,12 @@ def main():
         simb = Simulator(model, data, precond=case.precond,
                          pc_cfg=case.pc_cfg, newton_cfg=case.newton_cfg,
                          time_cfg=_dc.replace(case.time_cfg, block_steps=8))
-        simb.run(t_end=t_sim, max_steps=4 * nsteps)          # compile
-        resb = simb.run(t_end=t_sim, max_steps=4 * nsteps)   # measured
+        # u0 must be passed explicitly: run()'s default initial state
+        # follows the x64 flag (f64), and an f64 GMG hierarchy is the
+        # slow emulated path on TPU — this column measures f32 production
+        u0 = model.initial_state(data, dtype=jnp.float32)
+        simb.run(t_end=t_sim, u0=u0, max_steps=4 * nsteps)          # compile
+        resb = simb.run(t_end=t_sim, u0=u0, max_steps=4 * nsteps)   # measured
         cub = ncells * resb.total_newton / resb.wall_s if resb.wall_s else 0.0
 
         rows.append((
