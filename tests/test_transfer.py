@@ -162,19 +162,20 @@ def test_weighted_transfer_helps_on_contrast(rng):
 
 
 def test_axis_weights_parent_floor():
-    """Regression for the full-SPE10 diagonal collapse: the parent weight
-    must never drop below ½.
+    """Regression for the two summation-R pathologies: the parent weight
+    must never drop below the homogeneous ¾.
 
-    Without the floor in `_axis_weights`, a child whose SIBLING face is
+    Without a floor in `_axis_weights`, a child whose SIBLING face is
     (nearly) impermeable while its outer face is huge gets w_self → 0 —
     it defers almost fully to the neighbouring coarse cell.  Under
     summation restriction the Galerkin coarse diagonal then loses its
     diffusion contribution while off-diagonals keep theirs; measured on
     full SPE10 (10⁶ channelized contrast, f32): row-sum/|diag| ratios
     reach 1e9 across levels, the Gershgorin/power λ estimate overflows,
-    and the Chebyshev smoother NaNs (CPU and TPU alike).  With the floor
-    the parent stays dominant and the hierarchy is well-posed
-    (tools/diag_wp.py on tp_spe10_full: all levels finite, λ ∈ [2, 21])."""
+    and the Chebyshev smoother NaNs (CPU and TPU alike).  And even a ½
+    floor leaves the pair DIVERGENT on rough random fields (see
+    test_weighted_rough_field_two_level below); the ¾ floor makes
+    heterogeneity strictly injection-ward and restores convergence."""
     from thermalporous_tpu.precond.transfer import _axis_weights
 
     wl = jnp.asarray([[1e8, 1e-6, 3.0, 0.0]])   # outer couplings (-a)
@@ -182,17 +183,92 @@ def test_axis_weights_parent_floor():
     aw = _axis_weights(wl, wr, a=1)
     w = np.asarray(aw.w_self)[0]
     # even child 0: sibling tiny vs outer huge — pre-fix w_self ≈ 3e-14
-    assert w[0] == pytest.approx(0.5)
+    assert w[0] == pytest.approx(0.75)
     # odd child 1: mirrored pathology
-    assert w[1] == pytest.approx(0.5)
-    # homogeneous-ish cell: classic cell-centred 3/4 parent weight
-    assert w[2] == pytest.approx(3.0 / (3.0 + 3.0 / 1.0), abs=0.3)
+    assert w[1] == pytest.approx(0.75)
+    # homogeneous-ish cell: floored to the cell-centred 3/4 parent weight
+    assert w[2] == pytest.approx(0.75, abs=0.05)
     # fully decoupled cell: pure parent injection
     assert w[3] == pytest.approx(1.0)
     np.testing.assert_allclose(
         np.asarray(aw.w_self + aw.w_out), 1.0, atol=1e-12
     )
-    assert float(jnp.min(aw.w_self)) >= 0.5
+    assert float(jnp.min(aw.w_self)) >= 0.75
+
+
+def test_weighted_rough_field_two_level():
+    """Dense two-level analysis on a rough (per-cell lognormal) field:
+    the UNfloored Kwak pair (operator-weighted P, summation R) has
+    asymptotic ρ ≫ 1 (measured 9.8 at floor ½ — the Petrov–Galerkin pair
+    has no variational safety net), while the shipped ¾-floored weights
+    are convergent and beat constant transfer.  This pins the root cause
+    of the round-3 full-SPE10 weighted-transfer failure and the fix."""
+    import thermalporous_tpu.precond.transfer as tr
+    from thermalporous_tpu.precond.transfer import (
+        prolong_weighted,
+        transfer_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 16
+    shape, nc = (n, n), (n // 2, n // 2)
+    N, Nc = n * n, (n // 2) ** 2
+    from test_gmg import poisson_stencil
+
+    k = jnp.asarray(10.0 ** rng.uniform(-2, 2, size=shape))
+    st = poisson_stencil(shape, k=k)
+    A = np.asarray(st.to_dense())
+
+    def dense_P(weights):
+        cols = jnp.asarray(np.eye(Nc).reshape((Nc,) + nc))
+        P = jax.vmap(lambda e: prolong_weighted(e, shape, weights))(cols)
+        return np.asarray(P).reshape(Nc, N).T
+
+    P_const = np.zeros((N, Nc))
+    for i in range(n):
+        for j in range(n):
+            P_const[i * n + j, (i // 2) * (n // 2) + j // 2] = 1.0
+    R = P_const.T  # summation restriction
+
+    def rho(P):
+        D = np.diag(A)
+        S = np.eye(N) - 0.8 * (A / D[:, None])
+        Ac = R @ A @ P
+        CGC = np.eye(N) - P @ np.linalg.solve(Ac, R @ A)
+        E = (np.linalg.matrix_power(S, 2) @ CGC
+             @ np.linalg.matrix_power(S, 2))
+        return float(np.max(np.abs(np.linalg.eigvals(E))))
+
+    # unfloored weights: recompute with the floor dropped to ½
+    orig = tr._axis_weights
+
+    def half_floored(wl, wr, a):
+        aw = orig(wl, wr, a)
+        # undo the ¾ floor down to ½ by recomputing the raw ratios
+        shape_ = wl.shape
+        idx = jnp.arange(shape_[a]).reshape(
+            tuple(shape_[a] if i == a else 1 for i in range(len(shape_)))
+        )
+        even = idx % 2 == 0
+        se, so = 3.0 * wr + wl, 3.0 * wl + wr
+        w_e = jnp.where(se > 0, 3.0 * wr / jnp.where(se > 0, se, 1.0), 1.0)
+        w_o = jnp.where(so > 0, 3.0 * wl / jnp.where(so > 0, so, 1.0), 1.0)
+        ws = jnp.maximum(jnp.where(even, w_e, w_o), 0.5)
+        return tr.AxisWeights(w_self=ws, w_out=1.0 - ws)
+
+    tr._axis_weights = half_floored
+    try:
+        w_half = transfer_weights(st, (2, 2))
+    finally:
+        tr._axis_weights = orig
+    w_prod = transfer_weights(st, (2, 2))
+
+    rho_const = rho(P_const)
+    rho_half = rho(dense_P(w_half))
+    rho_prod = rho(dense_P(w_prod))
+    assert rho_half > 1.0          # the diagnosed divergence
+    assert rho_prod < 1.0          # shipped floor converges
+    assert rho_prod < rho_const    # and still beats constant transfer
 
 
 def test_weighted_hierarchy_wellposed_on_channelized_f32():

@@ -158,16 +158,25 @@ def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
       odd child mirrors.
 
     Heterogeneous limits: impermeable outer face (wl→0) → pure parent
-    injection; impermeable sibling face → the parent weight is FLOORED at
-    ½: letting a child defer (almost) fully to the neighbouring coarse
-    cell collapses the Galerkin coarse DIAGONAL under summation R —
-    measured on full SPE10 (10⁶ channel contrast): row-sum/|diag| ratios
-    reach 10⁹, Gershgorin λ goes inf and the smoother NaNs, on CPU and
-    TPU alike.  With the floor the parent is never sub-dominant and the
-    hierarchy stays well-posed.  Zero-coupling cells inject from the
-    parent.  Measured on a 32² V-cycle (tests/test_transfer.py): Poisson
-    11→5 FGMRES iterations vs constant transfer, 4-decade layered
-    contrast 26→17 (the floor binds only at extreme in-cell contrast).
+    injection; in the other direction the parent weight is FLOORED at the
+    homogeneous ¾ — heterogeneity may only pull P TOWARD injection, never
+    below the linear-interpolation parent share.  Two measured failure
+    modes motivate the floor (both summation-R pathologies — with R ≠ Pᵀ
+    the pair is Petrov–Galerkin and has no variational safety net; dense
+    two-level analysis in tests/test_transfer.py):
+    - w_self → 0 (child defers to the neighbouring coarse cell) collapses
+      the Galerkin coarse DIAGONAL: on full SPE10 (10⁶ channel contrast)
+      row-sum/|diag| ratios reach 10⁹, Gershgorin λ overflows and the
+      smoother NaNs, on CPU and TPU alike.
+    - Even bounded w_self ∈ [½, ¾) on ROUGH (per-cell random) coefficient
+      fields makes the two-level iteration DIVERGE outright (measured
+      asymptotic ρ = 9.8 on a 4-decade lognormal 32² field, vs 0.93 for
+      constant transfer; the variational pair Pᵀ·A·P is stable at 0.855
+      but needs a 5-per-axis stencil class).  With the ¾ floor the same
+      field CONVERGES and beats constant transfer (V-cycle FGMRES 33 vs
+      42 in 2D, 34 vs 38 in 3D), while the smooth/layered wins are
+      retained (Poisson 3D 20→7, layered 4-decade 2D 25→16).
+    Zero-coupling cells inject from the parent.
     """
     shape = wl.shape
     idx = jnp.arange(shape[a]).reshape(
@@ -178,7 +187,7 @@ def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
     so = 3.0 * wl + wr
     w_par_even = jnp.where(se > 0, 3.0 * wr / jnp.where(se > 0, se, 1.0), 1.0)
     w_par_odd = jnp.where(so > 0, 3.0 * wl / jnp.where(so > 0, so, 1.0), 1.0)
-    w_self = jnp.maximum(jnp.where(even, w_par_even, w_par_odd), 0.5)
+    w_self = jnp.maximum(jnp.where(even, w_par_even, w_par_odd), 0.75)
     return AxisWeights(w_self=w_self, w_out=1.0 - w_self)
 
 
