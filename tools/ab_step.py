@@ -70,6 +70,12 @@ VARIANTS = {
                                     ksp_maxiter=16), dict(degree=4), False),
     "stencil-every-pallas-deg4": (dict(krylov_op="stencil_pallas",
                                        pc_lag="every"), dict(degree=4), False),
+    # pallas matvec under the FULL round-3 production config (VERDICT r2
+    # #1 resolution run): bare-kernel exactness verified in-loop at this
+    # size (tools/diag_pallas.py), question is wall
+    "stencil-every-pallas-deg4-bf16-ksp2": (
+        dict(krylov_op="stencil_pallas", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4), False),
     # Appleyard saturation chop on the bench workload's hard doubling steps
     "stencil-every-deg4-ds02": (dict(krylov_op="stencil", pc_lag="every",
                                      ds_max=0.2), dict(degree=4), False),
