@@ -177,3 +177,29 @@ def test_fgmres_bf16_basis_solves_to_its_floor(rng):
     assert r_bf16 <= 2e-2 * bn, r_bf16
     # the solution itself is full precision (not bf16-rounded)
     assert bf16.x.dtype == b.dtype
+
+
+def test_fgmres_cgs1_converges_at_loose_tolerance(rng):
+    """Single-pass classical Gram–Schmidt (orth_passes=1, PETSc's
+    KSPGMRES default): halves the dominant basis-streaming traffic; the
+    orthogonality drift may cost a few extra iterations but the TRUE
+    residual still reaches a loose (inexact-Newton-regime) tolerance,
+    with and without the bf16 basis."""
+    import numpy as np
+
+    a, x_true, b = _random_system(rng, n=60, cond_shift=4.0)
+    an = np.asarray(a)
+    d = jnp.asarray(1.0 / np.diag(an))
+    pc = lambda r: d * r
+    mv = lambda v: a @ v
+    bn = np.linalg.norm(np.asarray(b))
+
+    ref = fgmres(mv, b, precond=pc, rtol=1e-3, maxiter=60)
+    for bd in (None, jnp.bfloat16):
+        got = fgmres(mv, b, precond=pc, rtol=1e-3, maxiter=60,
+                     basis_dtype=bd, orth_passes=1)
+        assert bool(got.converged)
+        assert int(got.iters) <= int(ref.iters) + 5
+        r = np.linalg.norm(an @ np.asarray(got.x, np.float64)
+                           - np.asarray(b))
+        assert r <= 2e-2 * bn, (bd, r)

@@ -70,6 +70,7 @@ def fgmres(
     restart: int | None = None,
     iter_cap: jax.Array | None = None,
     basis_dtype=None,
+    orth_passes: int = 2,
 ) -> FGMRESResult:
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -107,6 +108,12 @@ def fgmres(
         (the production ksp_rtol=1e-3 inexact-Newton regime, where the
         nonlinear loop absorbs linear inexactness; tests/test_fgmres.py).
         None = store V in the compute dtype.
+      orth_passes: Gram–Schmidt passes per iteration (static).  2 = CGS2
+        (default; one reorthogonalization, MGS-grade stability).  1 =
+        single classical pass — PETSc's KSPGMRES default — halving the
+        basis streaming traffic at the cost of O(eps·κ) orthogonality
+        drift; honest in the loose-tolerance inexact-Newton regime where
+        Newton gates on the TRUE residual (see NewtonConfig.ksp_orth).
     """
     if precond is None:
         precond = lambda r: r
@@ -114,7 +121,7 @@ def fgmres(
     if restart is not None and int(restart) < int(maxiter):
         return _fgmres_restarted(
             matvec, b, precond, x0, rtol, atol, int(maxiter), int(restart),
-            basis_dtype=basis_dtype,
+            basis_dtype=basis_dtype, orth_passes=orth_passes,
         )
 
     m = int(maxiter)
@@ -192,9 +199,11 @@ def fgmres(
             h = jnp.tensordot(V, w, axes=(axes, tuple(range(b.ndim)))) * active
             return w - jnp.tensordot(h, V, axes=(0, 0)), h
 
-        w, h1 = orth(w)
-        w, h2 = orth(w)
-        H = H.at[:, j].set(h1 + h2)
+        w, h = orth(w)
+        if orth_passes >= 2:
+            w, h2 = orth(w)
+            h = h + h2
+        H = H.at[:, j].set(h)
         h_next = _norm(w)
         breakdown = h_next <= 1e-300
         V = V.at[j + 1].set(
@@ -257,7 +266,7 @@ def fgmres(
 
 def _fgmres_restarted(
     matvec, b, precond, x0, rtol, atol, maxiter: int, r: int,
-    basis_dtype=None,
+    basis_dtype=None, orth_passes: int = 2,
 ) -> FGMRESResult:
     """FGMRES(r) restart cycles up to ``maxiter`` total iterations.
 
@@ -284,7 +293,7 @@ def _fgmres_restarted(
         out = fgmres(
             matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol,
             maxiter=r, iter_cap=jnp.minimum(r, maxiter - tot),
-            basis_dtype=basis_dtype,
+            basis_dtype=basis_dtype, orth_passes=orth_passes,
         )
         tot = tot + out.iters
         stop = jnp.logical_or(

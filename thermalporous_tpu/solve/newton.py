@@ -46,6 +46,13 @@ class NewtonConfig:
     # the second CGS pass absorbs the coarser basis rounding.  The
     # flexible basis Z and the solution stay full precision.
     ksp_basis: str = "same"
+    # Gram–Schmidt passes: "cgs2" (default — one reorthogonalization,
+    # MGS-grade stability) or "cgs1" (PETSc's KSPGMRES default: single
+    # classical pass, no refinement).  cgs1 halves the dominant basis
+    # streaming traffic; orthogonality degrades to O(eps·κ(basis)), which
+    # the inexact-Newton regime (loose ksp_rtol, true-residual Newton
+    # gate) can absorb — a measured lever, see BASELINE.md.
+    ksp_orth: str = "cgs2"
     max_backtracks: int = 6
     ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
     # Line-search acceptance: "armijo" (default — sufficient decrease) or
@@ -211,6 +218,7 @@ def newton_solve(
             maxiter=cfg.ksp_maxiter,
             restart=cfg.ksp_restart,
             basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
+            orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
         )
         dx = result.x
         if chop is not None:

@@ -94,6 +94,14 @@ VARIANTS = {
     "stencil-every-deg4-bf16-ksp2": (
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2), dict(degree=4), False),
+    # single-pass CGS (PETSc's KSPGMRES default): halves the remaining
+    # basis-streaming traffic on top of bf16 storage (roofline follow-up)
+    "stencil-every-deg4-bf16-ksp2-cgs1": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_orth="cgs1"), dict(degree=4), False),
+    "stencil-every-deg4-ksp2-cgs1": (
+        dict(krylov_op="stencil", pc_lag="every",
+             ksp_rtol=1e-2, ksp_orth="cgs1"), dict(degree=4), False),
     # restarted FGMRES: small-basis traffic with the full iteration budget
     "stencil-every-deg4-r16": (dict(krylov_op="stencil", pc_lag="every",
                                     ksp_maxiter=48, ksp_restart=16),
