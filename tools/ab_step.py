@@ -60,6 +60,12 @@ VARIANTS = {
                              dict(degree=6), False),
     "stencil-every-deg4-ksp2": (dict(krylov_op="stencil", pc_lag="every",
                                      ksp_rtol=1e-2), dict(degree=4), False),
+    # V-cycle under the production levers: the K-cycle revisits coarse
+    # levels ~1.5x per apply — if the 2D bench workload converges equally
+    # with V, the apply traffic drops for free
+    "stencil-every-deg4v-bf16-ksp2": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4, cycle_type="v"), False),
     "stencil-every-deg4-cyc2": (dict(krylov_op="stencil", pc_lag="every"),
                                 dict(degree=4, cycles=2), False),
     # Krylov-space cap: CGS2 sweeps stream the full static basis, so a
