@@ -203,7 +203,6 @@ def test_weighted_rough_field_two_level():
     has no variational safety net), while the shipped ¾-floored weights
     are convergent and beat constant transfer.  This pins the root cause
     of the round-3 full-SPE10 weighted-transfer failure and the fix."""
-    import thermalporous_tpu.precond.transfer as tr
     from thermalporous_tpu.precond.transfer import (
         prolong_weighted,
         transfer_weights,
@@ -239,28 +238,9 @@ def test_weighted_rough_field_two_level():
              @ np.linalg.matrix_power(S, 2))
         return float(np.max(np.abs(np.linalg.eigvals(E))))
 
-    # unfloored weights: recompute with the floor dropped to ½
-    orig = tr._axis_weights
-
-    def half_floored(wl, wr, a):
-        aw = orig(wl, wr, a)
-        # undo the ¾ floor down to ½ by recomputing the raw ratios
-        shape_ = wl.shape
-        idx = jnp.arange(shape_[a]).reshape(
-            tuple(shape_[a] if i == a else 1 for i in range(len(shape_)))
-        )
-        even = idx % 2 == 0
-        se, so = 3.0 * wr + wl, 3.0 * wl + wr
-        w_e = jnp.where(se > 0, 3.0 * wr / jnp.where(se > 0, se, 1.0), 1.0)
-        w_o = jnp.where(so > 0, 3.0 * wl / jnp.where(so > 0, so, 1.0), 1.0)
-        ws = jnp.maximum(jnp.where(even, w_e, w_o), 0.5)
-        return tr.AxisWeights(w_self=ws, w_out=1.0 - ws)
-
-    tr._axis_weights = half_floored
-    try:
-        w_half = transfer_weights(st, (2, 2))
-    finally:
-        tr._axis_weights = orig
+    # ½-floored weights are now a first-class parameter (the variational
+    # pair uses them); the summation-R pair must still be shown divergent
+    w_half = transfer_weights(st, (2, 2), floor=0.5)
     w_prod = transfer_weights(st, (2, 2))
 
     rho_const = rho(P_const)
@@ -307,6 +287,228 @@ def test_weighted_hierarchy_wellposed_on_channelized_f32():
     b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     z = gmg_apply(state, b, cfg)
     assert bool(jnp.all(jnp.isfinite(z)))
+
+
+@pytest.mark.parametrize("shape", [(6, 7), (4, 6, 5)])
+def test_box_stencil_matvec_matches_dense(rng, shape):
+    from thermalporous_tpu.precond.transfer import BoxStencil
+
+    dim = len(shape)
+    widths = (5,) + (3,) * (dim - 1)
+    st = BoxStencil(coef=jnp.asarray(rng.standard_normal(widths + shape)))
+    v = jnp.asarray(rng.standard_normal(shape))
+    dense = np.asarray(st.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(st.matvec(v)).ravel(),
+        dense @ np.asarray(v).ravel(),
+        rtol=1e-10, atol=1e-10,
+    )
+    assert st.half_widths == (2,) + (1,) * (dim - 1)
+    np.testing.assert_allclose(
+        np.asarray(st.row_abs_sum()),
+        np.abs(np.asarray(st.coef.reshape((-1,) + shape))).sum(0),
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,factors",
+    [((6, 7), (2, 2)), ((5, 8), (2, 1)), ((4, 6, 5), (2, 2, 2)),
+     ((4, 6, 5), (1, 1, 2)), ((7, 5), (2, 2))],
+)
+def test_restrict_weighted_is_adjoint_of_prolong(rng, shape, factors):
+    """restrict_weighted is EXACTLY Pᵀ: ⟨P e, r⟩ = ⟨e, Pᵀ r⟩ for all e, r."""
+    from thermalporous_tpu.precond.transfer import restrict_weighted
+
+    st = _random_diffusion_stencil(rng, shape, contrast=1.5)
+    w = transfer_weights(st, factors, floor=0.5)
+    coarse_shape = tuple(
+        -(-n // 2) if f == 2 else n for n, f in zip(shape, factors)
+    )
+    m = int(np.prod(coarse_shape))
+    eye_c = jnp.eye(m).reshape((m,) + coarse_shape)
+    P = np.asarray(
+        jax.vmap(lambda e: prolong_weighted(e, shape, w))(eye_c)
+    ).reshape(m, -1).T
+    r = jnp.asarray(rng.standard_normal(shape))
+    rc = np.asarray(restrict_weighted(r, w))
+    np.testing.assert_allclose(
+        rc.ravel(), P.T @ np.asarray(r).ravel(), rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,factors,floor",
+    [
+        ((6, 7), (2, 2), 0.5),
+        ((5, 8), (2, 1), 0.0),
+        ((4, 6, 5), (2, 2, 2), 0.5),
+        ((4, 6, 5), (1, 1, 2), 0.75),
+        ((7, 5, 5), (2, 2, 2), 0.0),
+    ],
+)
+def test_galerkin_variational_matches_dense_ptap(rng, shape, factors, floor):
+    """Per-axis conjugation extracts EXACTLY the dense Pᵀ·A·P."""
+    from thermalporous_tpu.precond.transfer import galerkin_variational
+
+    st = _random_diffusion_stencil(rng, shape, contrast=1.5)
+    w = transfer_weights(st, factors, floor=floor)
+    coarse_shape = tuple(
+        -(-n // 2) if f == 2 else n for n, f in zip(shape, factors)
+    )
+    ac = galerkin_variational(st, w, coarse_shape)
+    # every coarsened axis has half-width 2, uncoarsened keep 1
+    assert ac.half_widths == tuple(
+        2 if f == 2 else 1 for f in factors
+    )
+
+    m = int(np.prod(coarse_shape))
+    eye_c = jnp.eye(m).reshape((m,) + coarse_shape)
+    P = np.asarray(
+        jax.vmap(lambda e: prolong_weighted(e, shape, w))(eye_c)
+    ).reshape(m, -1).T
+    A = np.asarray(st.to_dense())
+    np.testing.assert_allclose(
+        np.asarray(ac.to_dense()), P.T @ A @ P, rtol=1e-8, atol=1e-8
+    )
+
+
+def test_galerkin_variational_two_level_exactness(rng):
+    """Second coarsening (BoxStencil input) still matches dense PᵀAP —
+    the box class is closed and the conjugation handles ±2 offsets."""
+    from thermalporous_tpu.precond.transfer import galerkin_variational
+
+    shape = (12, 10)
+    st = _random_diffusion_stencil(rng, shape, contrast=1.0)
+    f1 = (2, 2)
+    w1 = transfer_weights(st, f1, floor=0.5)
+    c1 = (6, 5)
+    a1 = galerkin_variational(st, w1, c1)
+    w2 = transfer_weights(a1, f1, floor=0.5)
+    c2 = (3, 3)
+    a2 = galerkin_variational(a1, w2, c2)
+
+    m = 9
+    eye_c = jnp.eye(m).reshape((m,) + c2)
+    P2 = np.asarray(
+        jax.vmap(lambda e: prolong_weighted(e, c1, w2))(eye_c)
+    ).reshape(m, -1).T
+    np.testing.assert_allclose(
+        np.asarray(a2.to_dense()),
+        P2.T @ np.asarray(a1.to_dense()) @ P2,
+        rtol=1e-8, atol=1e-8,
+    )
+
+
+def test_variational_stable_at_low_floor():
+    """The variational pair converges on the rough field that DIVERGES
+    under the summation-R pair at floor ½ (the round-3 ledger's ρ = 9.8
+    case) — the PᵀAP safety net, measured.  Also beats constant."""
+    rng = np.random.default_rng(7)
+    n = 16
+    shape, nc = (n, n), (n // 2, n // 2)
+    N, Nc = n * n, (n // 2) ** 2
+    from test_gmg import poisson_stencil
+
+    k = jnp.asarray(10.0 ** rng.uniform(-2, 2, size=shape))
+    st = poisson_stencil(shape, k=k)
+    A = np.asarray(st.to_dense())
+
+    def rho(P, R):
+        D = np.diag(A)
+        S = np.eye(N) - 0.8 * (A / D[:, None])
+        Ac = R @ A @ P
+        CGC = np.eye(N) - P @ np.linalg.solve(Ac, R @ A)
+        E = (np.linalg.matrix_power(S, 2) @ CGC
+             @ np.linalg.matrix_power(S, 2))
+        return float(np.max(np.abs(np.linalg.eigvals(E))))
+
+    def dense_P(floor):
+        w = transfer_weights(st, (2, 2), floor=floor)
+        cols = jnp.asarray(np.eye(Nc).reshape((Nc,) + nc))
+        P = jax.vmap(lambda e: prolong_weighted(e, shape, w))(cols)
+        return np.asarray(P).reshape(Nc, N).T
+
+    P_const = np.zeros((N, Nc))
+    for i in range(n):
+        for j in range(n):
+            P_const[i * n + j, (i // 2) * (n // 2) + j // 2] = 1.0
+
+    P_half = dense_P(0.5)
+    rho_sum = rho(P_half, P_const.T)     # Petrov–Galerkin pair, floor ½
+    rho_var = rho(P_half, P_half.T)      # variational pair, same P
+    rho_const = rho(P_const, P_const.T)
+    assert rho_sum > 1.0                 # the diagnosed divergence
+    assert rho_var < 1.0                 # PᵀAP stays convergent
+    assert rho_var < rho_const           # and beats constant transfer
+
+
+def test_variational_solver_on_channelized_f32():
+    """Full FGMRES+GMG solve with transfer='variational' on a channelized
+    f32 field: finite hierarchy, converges, and iterations do not lose
+    to constant transfer."""
+    from thermalporous_tpu.data.spe10 import synthetic_spe10
+    from thermalporous_tpu.precond.gmg import GMGConfig, gmg_apply, gmg_setup
+    from thermalporous_tpu.solve.fgmres import fgmres
+
+    fields = synthetic_spe10(shape=(32, 32, 8), seed=3)
+    kx = np.asarray(fields.kx, dtype=np.float32)
+    shape = kx.shape
+    uppers, lowers = [], []
+    diag = np.full(shape, 1e-3, np.float32)
+    for a in range(3):
+        t = 2.0 * np.minimum(kx, np.roll(kx, -1, axis=a)) / 1e-13
+        idx = np.arange(shape[a]).reshape(
+            tuple(shape[a] if i == a else 1 for i in range(3)))
+        t = (t * (idx < shape[a] - 1)).astype(np.float32)
+        lo = np.roll(t, 1, axis=a) * (idx > 0)
+        uppers.append(jnp.asarray(-t))
+        lowers.append(jnp.asarray(-lo))
+        diag = diag + t + lo
+    st = ScalarStencil(diag=jnp.asarray(diag),
+                       upper=tuple(uppers), lower=tuple(lowers))
+
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    iters = {}
+    for transfer, floor in (("constant", 0.75), ("variational", 0.5)):
+        cfg = GMGConfig(cycle_type="k", degree=2, max_coarse_cells=64,
+                        transfer=transfer, transfer_floor=floor)
+        state = gmg_setup(st, cfg)
+        for l, lv in enumerate(state.stencils):
+            arr = lv.coef if hasattr(lv, "coef") else lv.diag
+            assert bool(jnp.all(jnp.isfinite(arr))), f"level {l}"
+        out = fgmres(st.matvec, b,
+                     precond=lambda r: gmg_apply(state, r, cfg),
+                     rtol=1e-6, maxiter=100)
+        assert bool(out.converged), transfer
+        iters[transfer] = int(out.iters)
+        res = np.asarray(st.matvec(out.x) - b).ravel()
+        assert np.linalg.norm(res) <= 1e-4 * np.linalg.norm(np.asarray(b))
+    assert iters["variational"] <= iters["constant"] + 2, iters
+
+
+def test_cptr_variational_transfer_matches_oracle():
+    """transfer='variational' is preconditioning only: full CPTR solver
+    reproduces the f64 dense oracle."""
+    from thermalporous_tpu.precond import CPRConfig, GMGConfig
+    from thermalporous_tpu.solve import Simulator, oracle_run
+    from tests.test_newton_cptr import TIGHT, _compare_states, _tp_case
+
+    model, data = _tp_case(n=8)
+    dts = [3600.0, 7200.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(
+        model, data, precond="cptr",
+        pc_cfg=CPRConfig(gmg=GMGConfig(transfer="variational",
+                                       transfer_floor=0.5,
+                                       max_coarse_cells=16)),
+        newton_cfg=TIGHT,
+    )
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, u_ref)
 
 
 def test_cptr_weighted_transfer_matches_oracle():

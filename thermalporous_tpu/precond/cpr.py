@@ -75,6 +75,21 @@ class CPRConfig:
     # while_loop) miscomputes at full-SPE10 size (docs/parity.md caveat),
     # while the stationary form avoids that pattern.
     inner_method: str = "fgmres"
+    # SATURATION stage (round-3 extension, "CPTRS"): a third leg of the
+    # block-triangular stage 1.  Diagnosis on the dt=76.8 ks full-SPE10
+    # wall (tools/diag_hard.py): the decoupled pressure/temperature
+    # systems solve in 6/8 FGMRES iterations while the full system needs
+    # 97 — the binding equation is SATURATION, whose row the IMPES-style
+    # W leaves untouched, so its transport correction previously came
+    # from stage 2 alone (one cell per colour pass).  Here, after the
+    # (p,T) solves, the S residual is corrected through the S←(p,T)
+    # couplings and the decoupled scalar S-S transport operator is
+    # smoothed directly — far cheaper per sweep (scalar, not 3×3 blocks)
+    # and aimed at the right equation.  "rbgs" | "jacobi" |
+    # "zebra"/"line" (batched-Thomas line solves along s_axis) | "none".
+    s_stage: str = "none"
+    s_sweeps: int = 2
+    s_axis: int = 0
     gmg: GMGConfig = GMGConfig()
 
 
@@ -114,6 +129,9 @@ class CPRState:
     gmg_t: GMGState | None           # hierarchy on decoupled temperature block
     a_tp: ScalarStencil | None       # decoupled T-equation ← p-unknown coupling
     pt: BlockStencil | None          # decoupled (p,T) 2×2 stencil (inner GMRES)
+    a_sp: ScalarStencil | None = None  # S-equation ← p coupling (s_stage)
+    a_st: ScalarStencil | None = None  # S-equation ← T coupling (s_stage)
+    a_ss: ScalarStencil | None = None  # S-S transport operator (s_stage)
 
 
 def _decoupling_weights(
@@ -158,19 +176,46 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
     app = dec.scalar(0, 0)
     gmg_p = gmg_setup(app, cfg.gmg)
     pt = None
+    a_sp = a_st = a_ss = None
     if cfg.variant == "cptr":
         att = dec.scalar(1, 1)
         gmg_t = gmg_setup(att, cfg.gmg)
         a_tp = dec.scalar(1, 0)
         if cfg.inner_iters > 0:
             pt = dec.block(slice(0, 2), slice(0, 2))
+        if cfg.s_stage != "none" and stencil.nc >= 3:
+            a_sp = dec.scalar(2, 0)
+            a_st = dec.scalar(2, 1)
+            a_ss = dec.scalar(2, 2)
     else:
         gmg_t = None
         a_tp = None
     return CPRState(
         stencil=stencil, dinv=dinv, w=w, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp,
-        pt=pt,
+        pt=pt, a_sp=a_sp, a_st=a_st, a_ss=a_ss,
     )
+
+
+def _s_smooth(a_ss: ScalarStencil, r_s: jax.Array, cfg: CPRConfig) -> jax.Array:
+    """Approximate A_ss⁻¹ r_s with cfg.s_sweeps scalar smoother sweeps."""
+    from thermalporous_tpu.precond.chebyshev import (
+        line_jacobi,
+        red_black_gauss_seidel,
+        weighted_jacobi,
+        zebra_line_gs,
+    )
+
+    if cfg.s_stage == "rbgs":
+        return red_black_gauss_seidel(a_ss, r_s, None, sweeps=cfg.s_sweeps)
+    if cfg.s_stage == "zebra":
+        return zebra_line_gs(a_ss, r_s, None, axis=cfg.s_axis,
+                             sweeps=cfg.s_sweeps)
+    if cfg.s_stage == "line":
+        return line_jacobi(a_ss, r_s, None, axis=cfg.s_axis,
+                           sweeps=cfg.s_sweeps)
+    if cfg.s_stage == "jacobi":
+        return weighted_jacobi(a_ss, r_s, None, sweeps=cfg.s_sweeps)
+    raise ValueError(f"unknown s_stage {cfg.s_stage!r}")
 
 
 def _stage1_pt(state: CPRState, r_pt: jax.Array, cfg: CPRConfig) -> jax.Array:
@@ -213,6 +258,14 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
         else:
             e_pt = _stage1_pt(state, r_pt, cfg)
         x1 = jnp.zeros_like(r).at[0:2].set(e_pt)
+        if state.a_ss is not None:
+            # saturation leg of the triangular stage 1 (CPTRS): correct
+            # the S residual through the S←(p,T) couplings, then smooth
+            # the decoupled scalar transport operator directly
+            r_s = (w[2] - state.a_sp.matvec(e_pt[0])
+                   - state.a_st.matvec(e_pt[1]))
+            e_s = _s_smooth(state.a_ss, r_s, cfg)
+            x1 = x1.at[2].set(e_s)
     else:
         e_p = gmg_apply(state.gmg_p, w[0], cfg.gmg)
         x1 = jnp.zeros_like(r).at[0].set(e_p)

@@ -85,10 +85,19 @@ class GMGConfig:
     # "weighted" = Kwak/BoxMG-style operator-weighted prolongation with the
     # same summation R — coarse operators leave the 5/7-point class and
     # become wide (9/27-point) stencils via 3^dim-colour Galerkin probing
-    # (precond/transfer.py; SURVEY.md §7 hard part 1).  On wide levels only
-    # chebyshev/jacobi smoothing is available (rbgs/line colourings assume
-    # axis-aligned couplings); other smoothers fall back to chebyshev there.
+    # (precond/transfer.py; SURVEY.md §7 hard part 1).  "variational" = the
+    # same weighted P with R = Pᵀ and EXACT A_c = PᵀAP on the per-axis-width
+    # box class (±2 support along coarsened axes) — the Galerkin-safe pair
+    # that tolerates aggressive (low-floor) weights; see transfer_floor.
+    # On wide/box levels only chebyshev/jacobi smoothing is available
+    # (rbgs/line colourings assume axis-aligned couplings); other smoothers
+    # fall back to chebyshev there.
     transfer: str = "constant"
+    # parent-weight floor for weighted/variational P: ¾ is mandatory for the
+    # Petrov–Galerkin "weighted" pair (divergent below — dense analysis in
+    # tests/test_transfer.py); "variational" is stable at any floor and
+    # tracks heterogeneity harder at lower values (0.5 measured best).
+    transfer_floor: float = 0.75
     # multi-chip coarse-level strategy (SURVEY.md §5.8): levels at/below
     # this many cells are constrained FULLY REPLICATED (one all-gather at
     # the restriction that crosses the threshold), so deep-cycle smoothing
@@ -319,24 +328,47 @@ def gmg_setup(st: ScalarStencil, cfg: GMGConfig = GMGConfig()) -> GMGState:
     ):
         level = stencils[-1]
         factors = _level_factors(level.grid_shape, cfg, level=len(stencils) - 1)
-        if cfg.transfer == "weighted":
+        if cfg.transfer in ("weighted", "variational"):
             from thermalporous_tpu.precond.transfer import (
+                galerkin_variational,
                 galerkin_wide,
                 transfer_weights,
             )
 
-            w = transfer_weights(level, factors)
+            w = transfer_weights(level, factors, floor=cfg.transfer_floor)
             coarse_shape = tuple(
                 -(-n // 2) if f == 2 else n
                 for n, f in zip(level.grid_shape, factors)
             )
             transfers.append(w)
-            nxt = galerkin_wide(level, w, coarse_shape)
+            if cfg.transfer == "variational":
+                nxt = galerkin_variational(level, w, coarse_shape)
+            else:
+                nxt = galerkin_wide(level, w, coarse_shape)
         else:
             nxt = galerkin_coarsen(level, factors)
         stencils.append(_maybe_replicate_level(nxt, cfg))
 
-    lam_max = tuple(gershgorin_lambda_max(s) for s in stencils[:-1])
+    def _lam(s):
+        # Gershgorin is tight on the M-matrix-like scalar/summation levels
+        # but overestimates the VARIATIONAL box levels ~10–15× (PᵀAP rows
+        # carry heavy sign cancellation; measured true |λ|max ≈ 2.7 vs
+        # Gershgorin 37 on a channelized crop), which parks the Chebyshev
+        # interval far above the spectrum and disables smoothing there.
+        # Power-iterate D⁻¹A on those levels instead (a few matvecs per
+        # setup, deterministic start, 15% safety margin).
+        if cfg.transfer == "variational" and not isinstance(s, ScalarStencil):
+            from thermalporous_tpu.utils import power_iteration
+
+            dinv = 1.0 / s.diag
+            lam = power_iteration(
+                lambda v: dinv * s.matvec(v), s.grid_shape,
+                dtype=s.diag.dtype, iters=12,
+            )
+            return 1.15 * lam
+        return gershgorin_lambda_max(s)
+
+    lam_max = tuple(_lam(s) for s in stencils[:-1])
     # Dense inverse, not an LU: the K-cycle visits the coarsest level many
     # times per application, and triangular solves are sequential (slow on
     # TPU) while inv·b is one small MXU matmul.  Inversion happens once per
@@ -442,7 +474,12 @@ def _v_cycle(state: GMGState, level: int, b: jax.Array, cfg: GMGConfig) -> jax.A
     factors = tuple(2 if c < f else 1 for f, c in zip(fine, coarse))
     x = _smooth(st, lam, b, None, cfg)
     r = b - _mv(st, x, cfg)
-    rc = _blocksum(r, fine, factors)
+    if state.transfers and cfg.transfer == "variational":
+        from thermalporous_tpu.precond.transfer import restrict_weighted
+
+        rc = restrict_weighted(r, state.transfers[level])
+    else:
+        rc = _blocksum(r, fine, factors)
     if cfg.mesh is not None and math.prod(coarse) <= cfg.replicate_below:
         # the all-gather that moves the cycle onto replicated coarse levels
         rc = _replicated(rc, cfg)

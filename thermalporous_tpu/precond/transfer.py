@@ -30,10 +30,26 @@ Kwak/BoxMG-style alternative:
   3^dim composed applications, independent of the P/R details and
   testable against dense RAP.
 
+- the VARIATIONAL pair (round-3 extension, the "5-wide class" the
+  ledger names as the dt=76.8 ks next step): :func:`restrict_weighted`
+  is R = Pᵀ, and :func:`galerkin_variational` builds A_c = Pᵀ·A·P
+  EXACTLY by per-axis coefficient conjugation — no 5^dim probing.  With
+  the 2-point-per-axis P, PᵀAP widens support to |i−j| ≤ 2 along each
+  CONJUGATED axis only; :class:`BoxStencil` carries static per-axis
+  half-widths so z-first adaptive schedules pay for width only where
+  they coarsened.  Unlike the summation-R pair this one is Galerkin in
+  the variational sense: on SPD A the coarse correction is an
+  A-orthogonal projection regardless of how rough the weights are
+  (dense analysis: the rough-field divergence of the Kwak pair
+  disappears; tests/test_transfer.py).
+
 TPU notes: the apply path (matvec, P) is pure shift/elementwise
 arithmetic on full-shape arrays; probing performs one static gather per
 offset at setup time only.  Signs are not assumed: weights use
 |coupling|, so intermediate Galerkin levels need not be M-matrices.
+All variational-path lowerings are mask × zero-fill-shift × pairwise
+block-sum — the proven axon-safe family (no strided views, no gathers;
+CLAUDE.md miscompile ledger).
 """
 
 from __future__ import annotations
@@ -114,7 +130,26 @@ def as_wide(st: ScalarStencil) -> WideStencil:
 
 
 def _axis_couplings(st, a: int) -> tuple[jax.Array, jax.Array]:
-    """|coupling| of each cell to its -a / +a neighbour."""
+    """|coupling| of each cell to its -a / +a side.
+
+    ScalarStencil/WideStencil read the axis-aligned entries (the Kwak
+    face-transmissibility analogue); BoxStencil levels (variational
+    hierarchy) aggregate |coef| over ALL offsets on each side of axis
+    ``a`` — the ±2 and cross couplings PᵀAP introduces carry real
+    directional strength that the axis-aligned entry alone understates.
+    """
+    if isinstance(st, BoxStencil):
+        dim = st.dim
+        hw = st.half_widths
+        lo = jnp.zeros(st.grid_shape, st.coef.dtype)
+        up = jnp.zeros(st.grid_shape, st.coef.dtype)
+        for off in itertools.product(*[range(2 * h + 1) for h in hw]):
+            o = off[a] - hw[a]
+            if o < 0:
+                lo = lo + jnp.abs(st.coef[off])
+            elif o > 0:
+                up = up + jnp.abs(st.coef[off])
+        return lo, up
     if isinstance(st, WideStencil):
         dim = st.dim
         lo = st.coef[tuple(0 if i == a else 1 for i in range(dim))]
@@ -140,7 +175,9 @@ class AxisWeights:
     w_out: jax.Array
 
 
-def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
+def _axis_weights(
+    wl: jax.Array, wr: jax.Array, a: int, floor: float = 0.75
+) -> AxisWeights:
     """Resistance-calibrated 1D weights from |couplings| wl (-a) / wr (+a).
 
     Cell-centred geometry: fine cell centres sit at ±¼ coarse-cell units
@@ -177,6 +214,18 @@ def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
       42 in 2D, 34 vs 38 in 3D), while the smooth/layered wins are
       retained (Poisson 3D 20→7, layered 4-decade 2D 25→16).
     Zero-coupling cells inject from the parent.
+
+    ``floor`` is the parent-weight floor: ¾ is the shipped value for the
+    summation-R (Petrov–Galerkin) pair; the VARIATIONAL pair R = Pᵀ has
+    the PᵀAP safety net and tolerates lower floors that track the
+    heterogeneity more aggressively (the caller sweeps it).
+
+    Lone-child guard: an even child whose sibling slot falls outside the
+    domain (the last cell of an odd-length axis) IS its coarse parent —
+    the raw formula reads its zero sibling coupling as "defer to the
+    outer coarse cell" (w_self → floor), which at low floors starves the
+    parent's P column (singular PᵀAP in the worst case).  Such cells
+    inject exactly (w_self = 1).
     """
     shape = wl.shape
     idx = jnp.arange(shape[a]).reshape(
@@ -187,7 +236,9 @@ def _axis_weights(wl: jax.Array, wr: jax.Array, a: int) -> AxisWeights:
     so = 3.0 * wl + wr
     w_par_even = jnp.where(se > 0, 3.0 * wr / jnp.where(se > 0, se, 1.0), 1.0)
     w_par_odd = jnp.where(so > 0, 3.0 * wl / jnp.where(so > 0, so, 1.0), 1.0)
-    w_self = jnp.maximum(jnp.where(even, w_par_even, w_par_odd), 0.75)
+    w_self = jnp.maximum(jnp.where(even, w_par_even, w_par_odd), floor)
+    lone = even & (idx == shape[a] - 1)
+    w_self = jnp.where(lone, 1.0, w_self)
     return AxisWeights(w_self=w_self, w_out=1.0 - w_self)
 
 
@@ -208,7 +259,9 @@ def _subsample(x: jax.Array, axes: tuple[int, ...]) -> jax.Array:
     return x
 
 
-def transfer_weights(st, factors: tuple[int, ...]) -> tuple[AxisWeights | None, ...]:
+def transfer_weights(
+    st, factors: tuple[int, ...], floor: float = 0.75
+) -> tuple[AxisWeights | None, ...]:
     """Build per-axis weights for every coarsened axis of this level.
 
     Axis ``a``'s 1D interpolation is applied (during prolongation) when
@@ -223,7 +276,7 @@ def transfer_weights(st, factors: tuple[int, ...]) -> tuple[AxisWeights | None, 
             out.append(None)
             continue
         wl, wr = _axis_couplings(st, a)
-        aw = _axis_weights(wl, wr, a)
+        aw = _axis_weights(wl, wr, a, floor=floor)
         higher = tuple(b for b in range(a + 1, dim) if factors[b] == 2)
         out.append(AxisWeights(
             w_self=_subsample(aw.w_self, higher),
@@ -335,3 +388,233 @@ def galerkin_wide(
         coefs.append(jnp.where(inside, acc, 0.0))
     return WideStencil(coef=jnp.stack(coefs).reshape(
         (3,) * dim + coarse_shape))
+
+
+# --------------------------------------------------------------------------
+# Variational pair: R = Pᵀ, A_c = Pᵀ·A·P on a per-axis-width box class
+# --------------------------------------------------------------------------
+
+
+def _shift_k(x: jax.Array, a: int, k: int) -> jax.Array:
+    """``x[i] ← x[i+k]`` along spatial axis ``a``, zero-filled (static k).
+
+    Composed from the proven shift_minus/shift_plus pad+slice lowerings —
+    no strided views (the axon miscompile family, CLAUDE.md)."""
+    for _ in range(abs(k)):
+        x = shift_minus(x, a, lead=0) if k > 0 else shift_plus(x, a, lead=0)
+    return x
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BoxStencil:
+    """Scalar stencil over a STATIC per-axis offset box.
+
+    ``coef[i0, i1(, i2)]`` couples cell ``c`` to ``c + (i_a − hw_a)`` per
+    axis, where ``hw_a = (coef.shape[a] − 1)//2`` is axis ``a``'s
+    half-width; out-of-domain couplings are zero (full-shape convention).
+
+    The variational Galerkin product PᵀAP of the 2-point-per-axis P
+    widens support to ±2 ONLY along axes the level actually coarsened,
+    so — unlike a uniform 5^dim box — a z-first adaptive schedule pays
+    bandwidth only where it aggregated (e.g. SPE10 level 1 is 5×3×3-wide
+    after z-only coarsening, not 125-point).
+    """
+
+    coef: jax.Array  # (w0, ..., w_{dim-1}) + grid_shape, each w odd
+
+    @property
+    def dim(self) -> int:
+        return self.coef.ndim // 2
+
+    @property
+    def grid_shape(self) -> tuple[int, ...]:
+        return self.coef.shape[self.dim:]
+
+    @property
+    def half_widths(self) -> tuple[int, ...]:
+        return tuple((w - 1) // 2 for w in self.coef.shape[: self.dim])
+
+    @property
+    def diag(self) -> jax.Array:
+        return self.coef[self.half_widths]
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        dim, hw = self.dim, self.half_widths
+        y = jnp.zeros_like(v)
+
+        def rec(a: int, w: jax.Array, idx: tuple[int, ...]):
+            nonlocal y
+            if a == dim:
+                y = y + self.coef[idx] * w
+                return
+            for o in range(-hw[a], hw[a] + 1):
+                rec(a + 1, _shift_k(w, a, o), idx + (o + hw[a],))
+
+        rec(0, v, ())
+        return y
+
+    def row_abs_sum(self) -> jax.Array:
+        flat = self.coef.reshape((-1,) + self.grid_shape)
+        return jnp.sum(jnp.abs(flat), axis=0)
+
+    def to_dense(self) -> jax.Array:
+        n = math.prod(self.grid_shape)
+        eye = jnp.eye(n, dtype=self.coef.dtype)
+        cols = eye.reshape((n,) + self.grid_shape)
+        out = jax.vmap(self.matvec)(cols)
+        return out.reshape(n, n).T
+
+
+def _coef_dict(st) -> dict[tuple[int, ...], jax.Array]:
+    """Signed offset → coefficient array, only offsets that exist."""
+    if isinstance(st, BoxStencil):
+        hw = st.half_widths
+        return {
+            tuple(o - h for o, h in zip(off, hw)): st.coef[off]
+            for off in itertools.product(*[range(2 * h + 1) for h in hw])
+        }
+    dim = len(st.grid_shape)
+    out = {(0,) * dim: st.diag}
+    for a in range(dim):
+        out[tuple(1 if i == a else 0 for i in range(dim))] = st.upper[a]
+        out[tuple(-1 if i == a else 0 for i in range(dim))] = st.lower[a]
+    return out
+
+
+def _box_from_dict(
+    coefs: dict[tuple[int, ...], jax.Array], shape: tuple[int, ...]
+) -> BoxStencil:
+    dim = len(shape)
+    hw = tuple(max(abs(off[a]) for off in coefs) for a in range(dim))
+    widths = tuple(2 * h + 1 for h in hw)
+    zero = jnp.zeros(shape, next(iter(coefs.values())).dtype)
+    rows = [
+        coefs.get(tuple(i[a] - hw[a] for a in range(dim)), zero)
+        for i in itertools.product(*[range(w) for w in widths])
+    ]
+    return BoxStencil(coef=jnp.stack(rows).reshape(widths + tuple(shape)))
+
+
+def restrict_weighted(
+    r: jax.Array, weights: tuple[AxisWeights | None, ...]
+) -> jax.Array:
+    """R r with R = Pᵀ — the exact adjoint of :func:`prolong_weighted`.
+
+    P applies axis 0 first, so Pᵀ applies the highest axis's adjoint
+    first (each at exactly the mixed shape its weight arrays carry).
+    Per axis, coarse ``j`` collects the parent weights of its children
+    (fine ``2j``, ``2j+1``) and the outer weights of the two fine cells
+    whose OUTER coarse cell is ``j`` (even ``2j+2``, odd ``2j−1``).
+    Mask × zero-fill-shift × pairwise block-sum lowerings only.
+    """
+    from thermalporous_tpu.precond.gmg import _blocksum
+
+    for a in reversed(range(len(weights))):
+        w = weights[a]
+        if w is None:
+            continue
+        shape = r.shape
+        even = _even_mask(shape, a, r.dtype)
+        odd = 1.0 - even
+        g = w.w_out * r
+        t = even * (_shift_k(g * even, a, 2) + _shift_k(g * odd, a, -1))
+        factors = tuple(2 if i == a else 1 for i in range(r.ndim))
+        r = _blocksum(w.w_self * r + t, shape, factors)
+    return r
+
+
+def _conjugate_axis(
+    coefs: dict[tuple[int, ...], jax.Array], a: int, w: AxisWeights
+) -> dict[tuple[int, ...], jax.Array]:
+    """Pᵀ·Ã·P along axis ``a`` on offset→coefficient dicts (exact).
+
+    1D algebra at fixed other-axis offsets: write fine rows as
+    ``f = 2j + r`` and fold P's two-point columns into residue-masked
+    weight arrays ``q_r`` (``q_0/q_1`` the parent weights on even/odd
+    cells, ``q_{−1}/q_2`` the outer weights).  Then
+
+      c_d[j] = Σ_{r,r'} q_r[f] · ã_δ[f] · q_{r'}[f+δ],   δ = 2d + r' − r,
+
+    summed over the offsets δ the input actually has; |d| ≤ 2 always
+    (the box class is closed).  Every term is shift × multiply ×
+    (residue mask + pairwise block-sum) — axon-safe lowerings only —
+    and block-sums are batched once per output offset.
+    """
+    from thermalporous_tpu.precond.gmg import _blocksum
+
+    any_arr = next(iter(coefs.values()))
+    shape, dtype = any_arr.shape, any_arr.dtype
+    even = _even_mask(shape, a, dtype)
+    odd = 1.0 - even
+    q = {
+        0: w.w_self * even,
+        1: w.w_self * odd,
+        -1: w.w_out * odd,
+        2: w.w_out * even,
+    }
+    factors = tuple(2 if i == a else 1 for i in range(len(shape)))
+
+    qs_cache: dict[tuple[int, tuple[int, ...]], jax.Array] = {}
+
+    def qs(rp: int, off: tuple[int, ...]) -> jax.Array:
+        # column factor q_{r'} sampled at the FULL fine offset f + off:
+        # the weight arrays vary along every axis, so the shift must
+        # follow the off-axis components of the coupling too (the input
+        # coefficient is zero wherever f + off leaves the domain, so the
+        # zero-filled shift is exact)
+        if (rp, off) not in qs_cache:
+            x = q[rp]
+            for b, ob in enumerate(off):
+                if ob:
+                    x = _shift_k(x, b, ob)
+            qs_cache[(rp, off)] = x
+        return qs_cache[(rp, off)]
+
+    acc: dict[tuple[int, ...], jax.Array] = {}
+    for off, arr in coefs.items():
+        delta = off[a]
+        for r in (-1, 0, 1, 2):
+            base = q[r] * arr
+            for rp in (-1, 0, 1, 2):
+                num = delta + r - rp
+                if num % 2:
+                    continue
+                d = num // 2
+                if abs(d) > 2:
+                    continue
+                g = base * qs(rp, off)
+                # land fine row 2j+r on the residue the block-sum reads
+                if r == -1:
+                    g = even * _shift_k(g, a, -1)   # h[2j] = g[2j−1]
+                elif r == 2:
+                    g = even * _shift_k(g, a, 2)    # h[2j] = g[2j+2]
+                elif r == 0:
+                    g = even * g
+                else:
+                    g = odd * g                      # block-sum reads 2j+1
+                key = off[:a] + (d,) + off[a + 1:]
+                acc[key] = acc[key] + g if key in acc else g
+    return {k: _blocksum(v, shape, factors) for k, v in acc.items()}
+
+
+def galerkin_variational(
+    st,
+    weights: tuple[AxisWeights | None, ...],
+    coarse_shape: tuple[int, ...],
+) -> BoxStencil:
+    """A_c = Pᵀ·A·P, exact, by per-axis coefficient conjugation.
+
+    P is the same axis-by-axis weighted prolongation as the Kwak path
+    (axis 0 applied first), so A_c = P₀ᵀ·…·P_{d−1}ᵀ·A·P_{d−1}·…·P₀ is
+    built by conjugating the HIGHEST coarsened axis first — at which
+    point the weight arrays from :func:`transfer_weights` (subsampled
+    along higher axes only) sit at exactly the current mixed shape.
+    Cost scales with the offsets the operator actually has (unlike
+    5^dim probing), and the result keeps minimal per-axis widths.
+    """
+    coefs = _coef_dict(st)
+    for a in reversed(range(len(coarse_shape))):
+        if weights[a] is not None:
+            coefs = _conjugate_axis(coefs, a, weights[a])
+    return _box_from_dict(coefs, coarse_shape)
