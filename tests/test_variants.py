@@ -137,6 +137,31 @@ def test_cptr_stage2_rbgs_matches_oracle():
     _compare_states(u, oracle_states[0])
 
 
+@pytest.mark.parametrize("s_stage,kw", [
+    ("rbgs", {}),
+    ("zebra", {"s_axis": 1}),
+    ("jacobi", {"s_sweeps": 4}),
+])
+def test_cptr_saturation_stage_matches_oracle(s_stage, kw):
+    """The saturation leg of stage 1 (CPTRS) is preconditioning only:
+    the Newton answers reproduce the f64 dense oracle.  (Motivated by the
+    dt=76.8 ks full-SPE10 wall: the decoupled p/T systems solve in 6/8
+    FGMRES iterations while the full system needs 97 — the S transport
+    row, untouched by IMPES-style decoupling, is the binding equation;
+    tools/diag_hard.py.)"""
+    model, data = _tp_case(n=6)
+    dts = [3600.0, 7200.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(model, data, precond="cptr",
+                    pc_cfg=CPRConfig(stage2="rbgs", s_stage=s_stage, **kw),
+                    newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, u_ref)
+
+
 def test_lu_preconditioner_exact(rng):
     """The reference's direct-LU preset: FGMRES converges in 1 iteration and
     the guard rejects production-size grids."""
