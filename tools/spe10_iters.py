@@ -109,6 +109,13 @@ def main():
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone"),
             dict(coarsen="adaptive", degree=4, transfer="weighted")),
+        # + saturation stage-1 leg (CPTRS): the dt=76.8 ks wall is the S
+        # transport row (tools/diag_hard.py — p/T solve in 6/8 iters,
+        # full system 97); smooth the decoupled scalar S system directly
+        "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-sstage": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
@@ -131,6 +138,8 @@ def main():
             pc_kw.update(stage2="rbgs", stage2_sweeps=2)
         if name == "every-adapt-rbgs":
             pc_kw.update(stage2="rbgs", stage2_sweeps=1)
+        if "sstage" in name:
+            pc_kw.update(s_stage="rbgs", s_sweeps=2)
         pc_cfg = CPRConfig(gmg=GMGConfig(**{**gmg, **g_over}), **pc_kw)
         sim = Simulator(model, data32, precond="cptr", newton_cfg=ncfg,
                         pc_cfg=pc_cfg, time_cfg=case.time_cfg)
