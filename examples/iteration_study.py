@@ -101,6 +101,12 @@ def main():
         ("cptr", None),
         ("cptr-in3", CPRConfig(variant="cptr", inner_iters=3)),
     ]
+    if args.tp:
+        # CPTRS: the saturation stage-1 leg (two-phase only — the S row is
+        # the binding equation at large Δt, tools/diag_hard.py)
+        preconds.append(
+            ("cptr-s", CPRConfig(variant="cptr", stage2="rbgs",
+                                 s_stage="rbgs", s_sweeps=2)))
     print(f"{'problem':20s} " + "  ".join(f"{p:>8s}" for p, _ in preconds)
           + "   (FGMRES iters per Newton, lower+flatter = better)")
     for name, model, data, dt in problems:

@@ -121,6 +121,88 @@ def test_sharded_3d_two_phase_step():
     assert len(u_out.sharding.device_set) == 8
 
 
+def test_sharded_s_stage_match():
+    """The CPTRS saturation stage-1 leg (s_stage) is pure stencil algebra
+    on full-shape arrays — a sharded 3D run must match single-device with
+    identical Newton AND FGMRES counts."""
+    from thermalporous_tpu.precond import CPRConfig
+
+    pp = PhysicalParams()
+    g = Grid(shape=(8, 16, 6), spacing=(10.0, 10.0, 4.0), gravity=9.81)
+    rng = np.random.default_rng(11)
+    k = 1e-13 * np.exp(1.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=tuple((0, 0, iz) for iz in range(6)), control="bhp",
+             p_bh=4.0e7, T_inj=420.0),
+        Well(cells=tuple((7, 15, iz) for iz in range(6)), control="bhp",
+             p_bh=1.5e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, kz=0.3 * k, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp)
+
+    cfg = NewtonConfig(rtol=1e-8, ksp_rtol=1e-6, ksp_maxiter=80)
+    pc = CPRConfig(stage2="rbgs", s_stage="rbgs", s_sweeps=2)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg, pc_cfg=pc)
+    u0 = model.initial_state(data)
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+    assert bool(stats_ref.converged)
+
+    mesh = make_grid_mesh(8)
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      newton_cfg=cfg, pc_cfg=pc)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]),
+                               atol=10.0)
+    np.testing.assert_allclose(np.asarray(u_out[2]), np.asarray(u_ref[2]),
+                               atol=1e-8)
+    assert len(u_out.sharding.device_set) == 8
+
+
+def test_sharded_variational_transfer_match():
+    """transfer='variational' (R=Pᵀ, box Galerkin levels): shifts, masks
+    and pairwise block-sums only, so a sharded run must match
+    single-device with identical counts.  2D on purpose — the 3D box
+    conjugation compiles for minutes (BASELINE.md round-3 ledger) and the
+    sharding-sensitive lowerings are the same per axis."""
+    from thermalporous_tpu.precond import CPRConfig, GMGConfig
+
+    pp = PhysicalParams()
+    g = Grid(shape=(16, 32), spacing=(10.0, 10.0), thickness=5.0)
+    rng = np.random.default_rng(11)
+    k = 1e-13 * np.exp(1.5 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((15, 31),), control="bhp", p_bh=1.0e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp)
+
+    cfg = NewtonConfig(rtol=1e-8, ksp_rtol=1e-6, ksp_maxiter=80)
+    pc = CPRConfig(stage2="rbgs",
+                   gmg=GMGConfig(transfer="variational", transfer_floor=0.5,
+                                 max_coarse_cells=64))
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg, pc_cfg=pc)
+    u0 = model.initial_state(data)
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+    assert bool(stats_ref.converged)
+
+    mesh = make_grid_mesh(8)
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      newton_cfg=cfg, pc_cfg=pc)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]),
+                               atol=10.0)
+    np.testing.assert_allclose(np.asarray(u_out[2]), np.asarray(u_ref[2]),
+                               atol=1e-8)
+    assert len(u_out.sharding.device_set) == 8
+
+
 def test_halo_residual_matches_global():
     """Explicit shard_map+ppermute halo exchange ≡ the global residual."""
     from thermalporous_tpu.dist.halo import make_halo_residual

@@ -405,6 +405,43 @@ def _shift_k(x: jax.Array, a: int, k: int) -> jax.Array:
     return x
 
 
+def _shift_table(
+    base: jax.Array, offs: list[tuple[int, ...]], lead: int
+) -> dict[tuple[int, ...], jax.Array]:
+    """offset → ``base`` shifted by the FULL offset vector, zero-filled.
+
+    Built incrementally — every entry is ONE unit pad+slice from its
+    L1-closer parent — so a (2h+1)^dim box costs exactly one shift node
+    per offset instead of an O(Σ|off|) chain per (offset, use) pair.
+    This is the compile-cost fix for the variational setup: the original
+    per-term formulation emitted ~10k HLO ops per conjugated axis and
+    took minutes to compile even on tiny grids (measured 252 s for one
+    cpr_setup at 8×16×6); the table + stacked products below bring the
+    graph back to O(#offsets) nodes.  Shift composition along different
+    axes commutes, and zero-fill composes exactly.
+    """
+    table: dict[tuple[int, ...], jax.Array] = {}
+
+    def build(off: tuple[int, ...]) -> jax.Array:
+        if off in table:
+            return table[off]
+        if not any(off):
+            out = base
+        else:
+            b = next(i for i, o in enumerate(off) if o)
+            s = 1 if off[b] > 0 else -1
+            parent = off[:b] + (off[b] - s,) + off[b + 1:]
+            p = build(parent)
+            out = (shift_minus(p, b, lead=lead) if s > 0
+                   else shift_plus(p, b, lead=lead))
+        table[off] = out
+        return out
+
+    for off in sorted(offs, key=lambda o: sum(map(abs, o))):
+        build(off)
+    return table
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BoxStencil:
@@ -440,19 +477,12 @@ class BoxStencil:
         return self.coef[self.half_widths]
 
     def matvec(self, v: jax.Array) -> jax.Array:
-        dim, hw = self.dim, self.half_widths
-        y = jnp.zeros_like(v)
-
-        def rec(a: int, w: jax.Array, idx: tuple[int, ...]):
-            nonlocal y
-            if a == dim:
-                y = y + self.coef[idx] * w
-                return
-            for o in range(-hw[a], hw[a] + 1):
-                rec(a + 1, _shift_k(w, a, o), idx + (o + hw[a],))
-
-        rec(0, v, ())
-        return y
+        hw = self.half_widths
+        offs = list(itertools.product(*[range(-h, h + 1) for h in hw]))
+        table = _shift_table(v, offs, lead=0)
+        w = jnp.stack([table[o] for o in offs])
+        flat = self.coef.reshape((len(offs),) + self.grid_shape)
+        return jnp.sum(flat * w, axis=0)
 
     def row_abs_sum(self) -> jax.Array:
         flat = self.coef.reshape((-1,) + self.grid_shape)
@@ -541,61 +571,68 @@ def _conjugate_axis(
     (residue mask + pairwise block-sum) — axon-safe lowerings only —
     and block-sums are batched once per output offset.
     """
-    from thermalporous_tpu.precond.gmg import _blocksum
-
     any_arr = next(iter(coefs.values()))
     shape, dtype = any_arr.shape, any_arr.dtype
     even = _even_mask(shape, a, dtype)
     odd = 1.0 - even
+    rs = (-1, 0, 1, 2)
     q = {
         0: w.w_self * even,
         1: w.w_self * odd,
         -1: w.w_out * odd,
         2: w.w_out * even,
     }
-    factors = tuple(2 if i == a else 1 for i in range(len(shape)))
 
-    qs_cache: dict[tuple[int, tuple[int, ...]], jax.Array] = {}
+    # Column factors q_{r'} sampled at the FULL fine offset f + off: the
+    # weight arrays vary along every axis, so the shift must follow the
+    # off-axis components of the coupling too (the input coefficient is
+    # zero wherever f + off leaves the domain, so the zero-filled shift
+    # is exact).  All four r' share one incrementally-built shift table
+    # over a stacked (4, *shape) array — one pad+slice node per offset.
+    offs = sorted(coefs)
+    q_stack = jnp.stack([q[r] for r in rs])
+    table = _shift_table(q_stack, offs, lead=1)
 
-    def qs(rp: int, off: tuple[int, ...]) -> jax.Array:
-        # column factor q_{r'} sampled at the FULL fine offset f + off:
-        # the weight arrays vary along every axis, so the shift must
-        # follow the off-axis components of the coupling too (the input
-        # coefficient is zero wherever f + off leaves the domain, so the
-        # zero-filled shift is exact)
-        if (rp, off) not in qs_cache:
-            x = q[rp]
-            for b, ob in enumerate(off):
-                if ob:
-                    x = _shift_k(x, b, ob)
-            qs_cache[(rp, off)] = x
-        return qs_cache[(rp, off)]
-
+    # Stacked per-(r, r') products.  Within one (r, r') pair the key map
+    # off → (…, d, …) is injective (d is a bijection of off[a]), so the
+    # pair's terms never collide; collisions happen only ACROSS pairs and
+    # are resolved by per-key slice+add below (elementwise only — no
+    # scatters, no flattening reshapes: shard- and axon-safe).
     acc: dict[tuple[int, ...], jax.Array] = {}
-    for off, arr in coefs.items():
-        delta = off[a]
-        for r in (-1, 0, 1, 2):
-            base = q[r] * arr
-            for rp in (-1, 0, 1, 2):
-                num = delta + r - rp
-                if num % 2:
-                    continue
-                d = num // 2
-                if abs(d) > 2:
-                    continue
-                g = base * qs(rp, off)
-                # land fine row 2j+r on the residue the block-sum reads
-                if r == -1:
-                    g = even * _shift_k(g, a, -1)   # h[2j] = g[2j−1]
-                elif r == 2:
-                    g = even * _shift_k(g, a, 2)    # h[2j] = g[2j+2]
-                elif r == 0:
-                    g = even * g
-                else:
-                    g = odd * g                      # block-sum reads 2j+1
-                key = off[:a] + (d,) + off[a + 1:]
-                acc[key] = acc[key] + g if key in acc else g
-    return {k: _blocksum(v, shape, factors) for k, v in acc.items()}
+    for ir, r in enumerate(rs):
+        for irp, rp in enumerate(rs):
+            sel = [o for o in offs if (o[a] + r - rp) % 2 == 0
+                   and abs((o[a] + r - rp) // 2) <= 2]
+            if not sel:
+                continue
+            C = jnp.stack([coefs[o] for o in sel])
+            Q = jnp.stack([table[o][irp] for o in sel])
+            g = q_stack[ir] * C * Q
+            # land fine row 2j+r on the residue the block-sum reads
+            if r == -1:
+                g = even * shift_plus(g, a, lead=1)    # h[2j] = g[2j−1]
+            elif r == 2:
+                g = even * shift_minus(                 # h[2j] = g[2j+2]
+                    shift_minus(g, a, lead=1), a, lead=1)
+            elif r == 0:
+                g = even * g
+            else:
+                g = odd * g                             # block-sum reads 2j+1
+            for i, o in enumerate(sel):
+                key = o[:a] + ((o[a] + r - rp) // 2,) + o[a + 1:]
+                acc[key] = acc[key] + g[i] if key in acc else g[i]
+
+    # batched pairwise block-sum along the conjugated axis only
+    out_keys = sorted(acc)
+    x = jnp.stack([acc[k] for k in out_keys])
+    ax = 1 + a
+    if x.shape[ax] % 2 == 1:
+        pad = [(0, 0)] * x.ndim
+        pad[ax] = (0, 1)
+        x = jnp.pad(x, pad)
+    m = x.shape[ax] // 2
+    x = x.reshape(x.shape[:ax] + (m, 2) + x.shape[ax + 1:]).sum(axis=ax + 1)
+    return {k: x[i] for i, k in enumerate(out_keys)}
 
 
 def galerkin_variational(

@@ -115,6 +115,11 @@ VARIANTS = {
     "stencil-every-deg4-r8":  (dict(krylov_op="stencil", pc_lag="every",
                                     ksp_maxiter=48, ksp_restart=8),
                                dict(degree=4), False),
+    # saturation stage-1 leg (CPTRS) on top of the production levers: the
+    # bench workload's hard doubling steps are S-transport-bound too?
+    "stencil-every-deg4-bf16-ksp2-sstage": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4), False),
 }
 
 
@@ -130,6 +135,8 @@ def run_variant(name, model, data, u0, nsteps):
     gkw = dict(cycle_type="k", max_coarse_cells=1024)
     gkw.update(gmg_over)
     pc_kw = dict(stage2="rbgs") if name.endswith("s2rbgs") else {}
+    if "sstage" in name:
+        pc_kw.update(s_stage="rbgs", s_sweeps=2)
     pc_cfg = CPRConfig(gmg=GMGConfig(**gkw), **pc_kw)
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg, fuse=fuse))
 
