@@ -11,7 +11,11 @@ If (1)/(2) are cheap, the wall is the coupling and transfer-class work
 is misdirected; if (1) is expensive, GMG quality on pressure binds and
 the variational transfer / deflation levers are the right ones.
 
-Usage: python tools/diag_hard.py [dt_seconds=76800] [--cpu] [filters...]
+Usage: python tools/diag_hard.py [dt_seconds=76800] [--cpu] [--mid] [filters...]
+
+--mid swaps the problem to the mid-size tp_spe10_3d preset (60×110×16,
+317k cells) — small enough for CPU sweeps when the TPU tunnel is down,
+same channelized physics and production solver stack.
 """
 
 from __future__ import annotations
@@ -23,6 +27,10 @@ import jax
 if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
     sys.argv.remove("--cpu")
+
+MID = "--mid" in sys.argv
+if MID:
+    sys.argv.remove("--mid")
 
 import dataclasses
 
@@ -38,14 +46,14 @@ def main():
         resolve_adaptive_coarsening,
     )
     from thermalporous_tpu.precond.gmg import gmg_apply, gmg_setup
-    from thermalporous_tpu.presets import tp_spe10_full
+    from thermalporous_tpu.presets import tp_spe10_3d, tp_spe10_full
     from thermalporous_tpu.solve import Simulator
     from thermalporous_tpu.solve.fgmres import fgmres
 
     dt_hard = float(sys.argv[1]) if len(sys.argv) > 1 else 76800.0
     only = [s.lower() for s in sys.argv[2:]]
 
-    case = tp_spe10_full()
+    case = tp_spe10_3d() if MID else tp_spe10_full()
     model, data = case.model, case.data
     dtype = jnp.float32
     data = jax.tree.map(
@@ -108,8 +116,37 @@ def main():
         it, conv = jax.device_get(run(app, f))
         print(f"{tag:46s} iters={int(it):4d} conv={bool(conv)}")
 
+    def scalar_smooth_solve(tag, field, s_stage, sweeps, axis=0):
+        """FGMRES on a decoupled scalar row preconditioned by SWEEPS only —
+        how hard is this row by itself under the s_stage smoother class?"""
+        if not want(tag):
+            return
+        w = _decoupling_weights(st, base)
+        dec = st.scale_rows(w)
+        app = dec.scalar(field, field)
+        pc = dataclasses.replace(base, s_stage=s_stage, s_sweeps=sweeps,
+                                 s_axis=axis)
+
+        @jax.jit
+        def run(app, f):
+            from thermalporous_tpu.precond.cpr import _s_smooth, apply_blocks
+            rhs = apply_blocks(_decoupling_weights(st, base), -f)[field]
+            res = fgmres(app.matvec, rhs,
+                         precond=lambda r: _s_smooth(app, r, pc),
+                         rtol=1e-3, maxiter=200)
+            return res.iters, res.converged
+
+        it, conv = jax.device_get(run(app, f))
+        print(f"{tag:46s} iters={int(it):4d} conv={bool(conv)}")
+
     scalar_solve("PRESSURE system alone, production gmg", 0, base.gmg)
     scalar_solve("TEMPERATURE system alone, production gmg", 1, base.gmg)
+    if model.nc >= 3:
+        scalar_smooth_solve("SATURATION alone, rbgs x2 pc", 2, "rbgs", 2)
+        scalar_smooth_solve("SATURATION alone, rbgs x8 pc", 2, "rbgs", 8)
+        scalar_smooth_solve("SATURATION alone, zebra y x2 pc", 2, "zebra", 2,
+                            axis=1)
+        scalar_solve("SATURATION alone, production gmg", 2, base.gmg)
     g2 = dataclasses.replace(base.gmg, cycles=2)
     scalar_solve("pressure alone, 2 cycles", 0, g2)
     gv = dataclasses.replace(base.gmg, transfer="weighted")
@@ -184,6 +221,9 @@ def main():
                     gmg=GMGConfig(degree=4, **A)))
     solve("cptr S-STAGE zebra x x2",
           CPRConfig(stage2="rbgs", s_stage="zebra", s_axis=0, s_sweeps=2,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr S-STAGE zebra y x2",
+          CPRConfig(stage2="rbgs", s_stage="zebra", s_axis=1, s_sweeps=2,
                     gmg=GMGConfig(degree=4, **A)))
     solve("cptr S-STAGE rbgs x2, stage2 bjac",
           CPRConfig(stage2="block_jacobi", s_stage="rbgs", s_sweeps=2,
