@@ -82,6 +82,34 @@ class BlockStencil:
             lower=tuple(sub(l) for l in self.lower),
         )
 
+    def transpose(self) -> "BlockStencil":
+        """The stencil of Aᵀ (exact).
+
+        Row i of Aᵀ couples to i+e_a through L_a[i+e_a]ᵀ and to i−e_a
+        through U_a[i−e_a]ᵀ (the zero-filled shifts land exactly on the
+        full-shape zero-boundary convention), and the diagonal blocks
+        transpose in place.  Block transposition uses the explicit
+        per-entry stacking idiom of :meth:`block` rather than a leading-
+        axes ``swapaxes`` (the axon strided-view miscompile family).
+        Used by the discrete adjoint (`solve/adjoint.py`): the transposed
+        Newton Jacobian is preconditioned with the SAME CPR/CPTR + GMG
+        machinery, applied to this stencil.
+        """
+        nc = self.nc
+
+        def bt(a):
+            return jnp.stack(
+                [jnp.stack([a[j, i] for j in range(nc)]) for i in range(nc)]
+            )
+
+        return BlockStencil(
+            diag=bt(self.diag),
+            upper=tuple(bt(shift_minus(l, a, lead=2))
+                        for a, l in enumerate(self.lower)),
+            lower=tuple(bt(shift_plus(u, a, lead=2))
+                        for a, u in enumerate(self.upper)),
+        )
+
     def diag_inverse(self) -> jax.Array:
         """Per-cell inverse of the diagonal blocks, shape (nc, nc, *shape)."""
         return invert_blocks(self.diag)

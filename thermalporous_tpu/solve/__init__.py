@@ -1,3 +1,8 @@
+from thermalporous_tpu.solve.adjoint import (
+    AdjointResult,
+    adjoint_gradients,
+    record_trajectory,
+)
 from thermalporous_tpu.solve.fgmres import FGMRESResult, fgmres
 from thermalporous_tpu.solve.newton import NewtonConfig, NewtonStats, newton_solve
 from thermalporous_tpu.solve.oracle import dense_newton_step, oracle_run
@@ -12,6 +17,9 @@ from thermalporous_tpu.solve.timeloop import (
 )
 
 __all__ = [
+    "AdjointResult",
+    "adjoint_gradients",
+    "record_trajectory",
     "FGMRESResult",
     "fgmres",
     "NewtonConfig",

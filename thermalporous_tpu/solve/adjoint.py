@@ -1,0 +1,177 @@
+"""Discrete adjoint of the implicit time stepper: exact gradients of
+trajectory functionals with respect to every array in the problem.
+
+This is a capability the reference stack does not ship (SURVEY.md §2
+lists no adjoint/optimization layer; Firedrake's adjoint would require
+the separate dolfin-adjoint machinery): history matching and well-control
+optimization need dJ/dθ for θ = {permeability/transmissibility fields,
+porosity, well controls}, and a JAX-native simulator gets the building
+blocks for free — ``jax.vjp`` of the SAME residual function that defines
+the forward physics is the exact transposed linearization, including the
+upwind ``where`` branch selections (the adjoint of an upwind FV scheme).
+
+Method (adjoint of implicit Euler; j = terminal(u_N, data) +
+Σ_k running(u_k, dt_k, data)):
+
+    F_k(u_k, u_{k-1}, dt_k, θ) = 0,             k = 1..N
+    (∂F_N/∂u_N)ᵀ μ_N = (∂j/∂u_N)ᵀ
+    λ_{k-1} = (∂j/∂u_{k-1})ᵀ − (∂F_k/∂u_{k-1})ᵀ μ_k
+    (∂F_k/∂u_k)ᵀ μ_k = λ_k
+    dJ/dθ  = ∂j/∂θ − Σ_k (∂F_k/∂θ)ᵀ μ_k
+    dJ/du₀ = λ₀
+
+Each backward step is one linear solve with the TRANSPOSED Newton
+Jacobian.  The Krylov operator is matrix-free and exact —
+``jax.vjp(residual)`` in the ``u_new`` slot — and the preconditioner is
+the production CPR/CPTR + GMG stack applied to
+``BlockStencil.transpose()`` (TPFA ⇒ the assembled stencil IS the
+Jacobian, so its transpose is the exact adjoint operator too; the
+matrix-free form is kept as the operator for parity with the forward
+``krylov_op="jvp"`` default).  One jitted backward-step function is
+compiled once and reused for every step (static shapes).
+
+TPU notes: the backward pass streams the recorded states newest-first;
+for long trajectories, pair with checkpoint/resume segments (io/
+checkpoint.py) and re-run the forward slice per segment — the classical
+revolve trade handled at the driver level, mirroring jax.checkpoint's
+FLOPs-for-memory trade inside a step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from thermalporous_tpu.precond.cpr import CPRConfig, make_preconditioner
+from thermalporous_tpu.solve.fgmres import fgmres
+from thermalporous_tpu.solve.newton import NewtonConfig
+
+
+@dataclasses.dataclass
+class AdjointResult:
+    value: jax.Array            # J evaluated on the trajectory
+    grad_data: object           # ProblemData-shaped cotangent pytree
+    grad_u0: jax.Array          # dJ/du₀ (state-shaped)
+    ksp_iters: int              # total FGMRES iterations over the sweep
+    converged: bool             # every adjoint solve met its tolerance
+
+
+def _zeros_like_tree(tree):
+    return jax.tree.map(jnp.zeros_like, tree)
+
+
+def adjoint_gradients(
+    model,
+    data,
+    states: Sequence[jax.Array],
+    dts: Sequence[float],
+    terminal: Callable | None = None,
+    running: Callable | None = None,
+    precond: str = "cptr",
+    newton_cfg: NewtonConfig | None = None,
+    pc_cfg: CPRConfig | None = None,
+    rtol: float = 1e-10,
+    maxiter: int = 200,
+) -> AdjointResult:
+    """Backward sweep over a recorded trajectory.
+
+    Args:
+      states: [u_0, u_1, ..., u_N] — the accepted states of a forward run
+        (``Simulator.step`` outputs; u_0 the initial state).
+      dts: the N accepted step sizes.
+      terminal: ``j(u_N, data) -> scalar`` (optional).
+      running: ``j(u_k, dt_k, data) -> scalar`` summed over k = 1..N
+        (optional; e.g. produced energy: rate(u_k) · dt_k).
+      precond/newton_cfg/pc_cfg: production solver configuration; the
+        preconditioner is built on the transposed stencil.
+      rtol/maxiter: adjoint linear-solve tolerance (tighter than forward
+        ksp_rtol — gradient accuracy is limited by it directly).
+
+    Returns AdjointResult with J, dJ/d(data) as a ProblemData-shaped
+    pytree (tgeo/tcond/phi/wells cotangents), and dJ/du₀.
+    """
+    if terminal is None and running is None:
+        raise ValueError("need at least one of terminal/running objective")
+    newton_cfg = newton_cfg or NewtonConfig()
+    n = len(dts)
+    if len(states) != n + 1:
+        raise ValueError(f"states ({len(states)}) must be dts+1 ({n + 1})")
+
+    setup, apply = make_preconditioner(precond, pc_cfg)
+
+    @jax.jit
+    def terminal_vjps(u_n, data):
+        if terminal is None:
+            z = jnp.zeros((), dtype=u_n.dtype)
+            return z, jnp.zeros_like(u_n), _zeros_like_tree(data)
+        val, vjp = jax.vjp(terminal, u_n, data)
+        lam, gd = vjp(jnp.ones_like(val))
+        return val, lam, gd
+
+    @jax.jit
+    def running_vjps(u_k, dt, data):
+        if running is None:
+            z = jnp.zeros((), dtype=u_k.dtype)
+            return z, jnp.zeros_like(u_k), _zeros_like_tree(data)
+        val, vjp = jax.vjp(lambda u, d: running(u, dt, d), u_k, data)
+        lam, gd = vjp(jnp.ones_like(val))
+        return val, lam, gd
+
+    @jax.jit
+    def backward_step(u_new, u_old, dt, data, lam):
+        """Solve (∂F/∂u_new)ᵀ μ = λ, return (λ_prev_contrib, ḡ_contrib)."""
+        st = model.assemble_stencil(u_new, u_old, dt, data)
+        pc_state = setup(st.transpose())
+
+        _, vjp_fn = jax.vjp(
+            lambda un, uo, d: model.residual(un, uo, dt, d),
+            u_new, u_old, data,
+        )
+
+        def matvec_t(v):
+            return vjp_fn(v)[0]
+
+        res = fgmres(matvec_t, lam,
+                     precond=lambda r: apply(pc_state, r),
+                     rtol=rtol, maxiter=maxiter)
+        mu = res.x
+        _, w_old, w_data = vjp_fn(mu)
+        return -w_old, jax.tree.map(jnp.negative, w_data), res.iters, res.converged
+
+    u_n = states[n]
+    value, lam, grad_data = terminal_vjps(u_n, data)
+    total_ksp, all_conv = 0, True
+    for k in range(n, 0, -1):
+        dt_k = jnp.asarray(dts[k - 1], dtype=states[k].dtype)
+        rval, rlam, rgd = running_vjps(states[k], dt_k, data)
+        value = value + rval
+        lam = lam + rlam
+        grad_data = jax.tree.map(jnp.add, grad_data, rgd)
+        lam_prev, gd, iters, conv = backward_step(
+            states[k], states[k - 1], dt_k, data, lam)
+        grad_data = jax.tree.map(jnp.add, grad_data, gd)
+        lam = lam_prev
+        total_ksp += int(iters)
+        all_conv = all_conv and bool(conv)
+    return AdjointResult(value=value, grad_data=grad_data, grad_u0=lam,
+                         ksp_iters=total_ksp, converged=all_conv)
+
+
+def record_trajectory(sim, u0, dts):
+    """Run the forward model over fixed accepted steps, recording states.
+
+    Thin helper for adjoint workflows: ``Simulator.step`` with the given
+    Δt sequence (no controller — adjoint consistency needs the EXACT
+    schedule that was accepted; take one from a controller run's
+    telemetry when Δt was adaptive).
+    """
+    states = [u0]
+    for dt in dts:
+        u, stats = sim.step(states[-1], float(dt))
+        if not bool(jax.device_get(stats).converged):
+            raise RuntimeError(f"forward step dt={dt} did not converge")
+        states.append(u)
+    return states
