@@ -16,6 +16,8 @@ from thermalporous_tpu.core.stencil import (
     BlockStencil,
     ScalarStencil,
     apply_blocks,
+    invert_blocks,
+    multiply_blocks,
 )
 
 
@@ -258,5 +260,87 @@ def block_red_black_gauss_seidel(
     def body(_, x):
         x = x + red * apply_blocks(dinv, b - st.matvec(x))
         return x + black * apply_blocks(dinv, b - st.matvec(x))
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def block_tridiag_solve_along(
+    axis: int,
+    lower: jax.Array,
+    diag: jax.Array,
+    upper: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """Solve independent BLOCK-tridiagonal systems along ``axis``.
+
+    The block Thomas algorithm as two ``lax.scan``s: blocks are
+    (nc, nc, *shape) in the :class:`BlockStencil` convention (``upper[i]``
+    couples i→i+1, zero on the last slice), ``b`` is (nc, *shape).  Each
+    scan step inverts the modified diagonal blocks with the closed-form
+    ``invert_blocks`` (elementwise, VPU) and runs one fused pass over the
+    whole transverse plane — e.g. full-SPE10 y-lines: 220 steps × a
+    60×85-line batch.  This is the coupling-propagation primitive the
+    flat-parallel block smoothers lack: information crosses the ENTIRE
+    line in one application (the reference's sequential ILU(0) role,
+    SURVEY.md §2.15, made TPU-parallel by batching lines).
+    """
+    mvb = lambda a_: jnp.moveaxis(a_, 2 + axis, 0)   # (n, nc, nc, *other)
+    mvv = lambda a_: jnp.moveaxis(a_, 1 + axis, 0)   # (n, nc, *other)
+    lo, d, up, rhs = mvb(lower), mvb(diag), mvb(upper), mvv(b)
+
+    def fwd(carry, row):
+        c_prev, y_prev = carry
+        l_i, d_i, u_i, b_i = row
+        denom = d_i - multiply_blocks(l_i, c_prev)
+        dinv = invert_blocks(denom)
+        c_i = multiply_blocks(dinv, u_i)
+        y_i = apply_blocks(dinv, b_i - apply_blocks(l_i, y_prev))
+        return (c_i, y_i), (c_i, y_i)
+
+    zb = jnp.zeros_like(d[0])
+    zv = jnp.zeros_like(rhs[0])
+    _, (c, y) = jax.lax.scan(fwd, (zb, zv), (lo, d, up, rhs))
+
+    def bwd(x_next, row):
+        c_i, y_i = row
+        x_i = y_i - apply_blocks(c_i, x_next)
+        return x_i, x_i
+
+    _, x = jax.lax.scan(bwd, zv, (c, y), reverse=True)
+    return jnp.moveaxis(x, 0, 1 + axis)
+
+
+def block_zebra_line_gs(
+    st: BlockStencil,
+    b: jax.Array,
+    x: jax.Array | None = None,
+    axis: int = 1,
+    sweeps: int = 1,
+    omega: float = 1.0,
+) -> jax.Array:
+    """Zebra (red-black line) BLOCK Gauss–Seidel along ``axis``.
+
+    Stage-2 smoother for coupling-bound systems: the dt=76.8 ks
+    full-SPE10 decomposition (tools/diag_hard.py, BASELINE.md) shows
+    every decoupled scalar row is solved in ≤8 iterations while the full
+    system needs ~97 — the (p,T,S) coupling must propagate along
+    O(100)-cell channels, and point-wise block-RBGS carries it one cell
+    per sweep.  Exact block-line solves along the channel axis carry it
+    across the whole line per application, alternating line colors
+    against fresh values (Gauss–Seidel strength, TPU-parallel within a
+    color).
+    """
+    if x is None:
+        x = jnp.zeros_like(b)
+    a = axis % len(st.grid_shape)
+    lo, up = st.lower[a], st.upper[a]
+    red = _line_mask(st.grid_shape, a, 0, b.dtype)
+    black = 1.0 - red
+
+    def body(_, x):
+        x = x + omega * red * block_tridiag_solve_along(
+            a, lo, st.diag, up, b - st.matvec(x))
+        return x + omega * black * block_tridiag_solve_along(
+            a, lo, st.diag, up, b - st.matvec(x))
 
     return jax.lax.fori_loop(0, sweeps, body, x)

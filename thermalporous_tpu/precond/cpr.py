@@ -48,9 +48,18 @@ class CPRConfig:
     # stage-2 smoother on the full system (the reference's ILU(0)/bjacobi
     # role): "block_jacobi" (per-cell exact block solve), "rbgs"
     # (red-black block Gauss-Seidel — propagates transport corrections a
-    # cell per color pass, the closer ILU analog), "none"
+    # cell per color pass, the closer ILU analog), "zebra" (red-black
+    # BLOCK line solves along stage2_axis — the dt=76.8 ks full-SPE10
+    # wall is the (p,T,S) COUPLING needing O(100)-cell propagation along
+    # channels, which point smoothers carry one cell per sweep and exact
+    # line solves carry across the whole line; tools/diag_hard.py,
+    # BASELINE.md round-3 ledger), "none"
     stage2: str = "block_jacobi"
-    stage2_sweeps: int = 1           # rbgs sweeps
+    stage2_sweeps: int = 1           # rbgs/zebra sweeps
+    stage2_axis: int = 1             # zebra line axis (1 = SPE10 channel y)
+    stage2_omega: float = 1.0        # zebra under-relaxation (stability at
+                                     # extreme contrast; measured ledger in
+                                     # BASELINE.md round-3)
     triangular: bool = True          # CPTR stage-1: triangular vs block-diagonal
     # decoupling operator W ([P1] §4, [P2] §3):
     #   "qimpes" — Quasi-IMPES: eliminate only the last-unknown coupling of
@@ -76,17 +85,16 @@ class CPRConfig:
     # while the stationary form avoids that pattern.
     inner_method: str = "fgmres"
     # SATURATION stage (round-3 extension, "CPTRS"): a third leg of the
-    # block-triangular stage 1.  Diagnosis on the dt=76.8 ks full-SPE10
-    # wall (tools/diag_hard.py): the decoupled pressure/temperature
-    # systems solve in 6/8 FGMRES iterations while the full system needs
-    # 97 — the binding equation is SATURATION, whose row the IMPES-style
-    # W leaves untouched, so its transport correction previously came
-    # from stage 2 alone (one cell per colour pass).  Here, after the
-    # (p,T) solves, the S residual is corrected through the S←(p,T)
-    # couplings and the decoupled scalar S-S transport operator is
-    # smoothed directly — far cheaper per sweep (scalar, not 3×3 blocks)
-    # and aimed at the right equation.  "rbgs" | "jacobi" |
-    # "zebra"/"line" (batched-Thomas line solves along s_axis) | "none".
+    # block-triangular stage 1 — after the (p,T) solves, the S residual
+    # is corrected through the S←(p,T) couplings and the decoupled scalar
+    # S-S operator is smoothed directly.  Round-3 verdict on the dt=76.8
+    # ks full-SPE10 wall it was built for (tools/diag_hard.py): every
+    # DECOUPLED row is easy standalone (p 6, T 8, S 1–3 FGMRES
+    # iterations) while the full system needs ~97 — the wall is the
+    # (p,T,S) COUPLING, so this leg is measured iteration-neutral there
+    # (96 vs 97; CPU == TPU decomposition) and stays off by default.  The
+    # coupling-targeted lever is stage2="zebra" above.  "rbgs" | "jacobi"
+    # | "zebra"/"line" (batched-Thomas line solves along s_axis) | "none".
     s_stage: str = "none"
     s_sweeps: int = 2
     s_axis: int = 0
@@ -281,6 +289,14 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
         r2 = r - state.stencil.matvec(x1)
         return x1 + block_red_black_gauss_seidel(
             state.stencil, state.dinv, r2, sweeps=cfg.stage2_sweeps
+        )
+    if cfg.stage2 == "zebra":
+        from thermalporous_tpu.precond.chebyshev import block_zebra_line_gs
+
+        r2 = r - state.stencil.matvec(x1)
+        return x1 + block_zebra_line_gs(
+            state.stencil, r2, axis=cfg.stage2_axis,
+            sweeps=cfg.stage2_sweeps, omega=cfg.stage2_omega
         )
     return x1
 

@@ -184,6 +184,30 @@ def main():
     solve("cptr, stage2 rbgs x4",
           CPRConfig(stage2="rbgs", stage2_sweeps=4,
                     gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA y x1",
+          CPRConfig(stage2="zebra", stage2_axis=1,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA y x2",
+          CPRConfig(stage2="zebra", stage2_axis=1, stage2_sweeps=2,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA x x1",
+          CPRConfig(stage2="zebra", stage2_axis=0,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA z x1",
+          CPRConfig(stage2="zebra", stage2_axis=2,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA y x1, decoupling timpes",
+          CPRConfig(stage2="zebra", stage2_axis=1, decoupling="timpes",
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA y om0.5",
+          CPRConfig(stage2="zebra", stage2_axis=1, stage2_omega=0.5,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA z om0.7",
+          CPRConfig(stage2="zebra", stage2_axis=2, stage2_omega=0.7,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 ZEBRA z x2",
+          CPRConfig(stage2="zebra", stage2_axis=2, stage2_sweeps=2,
+                    gmg=GMGConfig(degree=4, **A)))
     solve("cpr (pressure-only stage1) s2rbgs",
           CPRConfig(variant="cpr", stage2="rbgs",
                     gmg=GMGConfig(degree=4, **A)))
