@@ -120,6 +120,11 @@ VARIANTS = {
     "stencil-every-deg4-bf16-ksp2-sstage": (
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2), dict(degree=4), False),
+    # stage-2 block zebra lines (2D workload: axis 1) — the
+    # coupling-propagation smoother from the dt=76.8ks diagnosis
+    "stencil-every-deg4-bf16-ksp2-zebra": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4), False),
 }
 
 
@@ -137,6 +142,8 @@ def run_variant(name, model, data, u0, nsteps):
     pc_kw = dict(stage2="rbgs") if name.endswith("s2rbgs") else {}
     if "sstage" in name:
         pc_kw.update(s_stage="rbgs", s_sweeps=2)
+    if "zebra" in name:
+        pc_kw.update(stage2="zebra", stage2_axis=1)
     pc_cfg = CPRConfig(gmg=GMGConfig(**gkw), **pc_kw)
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg, fuse=fuse))
 

@@ -109,10 +109,22 @@ def main():
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone"),
             dict(coarsen="adaptive", degree=4, transfer="weighted")),
-        # + saturation stage-1 leg (CPTRS): the dt=76.8 ks wall is the S
-        # transport row (tools/diag_hard.py — p/T solve in 6/8 iters,
-        # full system 97); smooth the decoupled scalar S system directly
+        # + saturation stage-1 leg (CPTRS).  Post-diagnosis note: the
+        # dt=76.8 ks wall turned out to be the (p,T,S) COUPLING (S alone
+        # solves in 1-3 iters; s_stage measured neutral, 96 vs 97) — the
+        # variant stays for the on-chip regression record.
         "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-sstage": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
+        # stage-2 BLOCK zebra z-lines (the coupling-targeted smoother:
+        # 76 vs 97 iters on the hard standalone system at x2 — does the
+        # -22% pay for ~340 scan steps per application on-chip?
+        "every-adapt-zebraz-deg4-m40-ds02-nm-ksp2-bf16": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-zebraz2-deg4-m40-ds02-nm-ksp2-bf16": (
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
             dict(coarsen="adaptive", degree=4)),
@@ -140,6 +152,9 @@ def main():
             pc_kw.update(stage2="rbgs", stage2_sweeps=1)
         if "sstage" in name:
             pc_kw.update(s_stage="rbgs", s_sweeps=2)
+        if "zebraz" in name:
+            pc_kw.update(stage2="zebra", stage2_axis=2,
+                         stage2_sweeps=2 if "zebraz2" in name else 1)
         pc_cfg = CPRConfig(gmg=GMGConfig(**{**gmg, **g_over}), **pc_kw)
         sim = Simulator(model, data32, precond="cptr", newton_cfg=ncfg,
                         pc_cfg=pc_cfg, time_cfg=case.time_cfg)
