@@ -161,6 +161,96 @@ def test_sharded_s_stage_match():
     assert len(u_out.sharding.device_set) == 8
 
 
+def test_sharded_stage2_zebra_z_match():
+    """stage2='zebra' along z: the block-Thomas lax.scan runs over the
+    LOCAL z axis under the production (x,y) domain decomposition, so the
+    sharded run must match single-device with identical counts and stay
+    collective-free inside the scan."""
+    from thermalporous_tpu.precond import CPRConfig
+
+    pp = PhysicalParams()
+    g = Grid(shape=(8, 16, 6), spacing=(10.0, 10.0, 4.0), gravity=9.81)
+    rng = np.random.default_rng(13)
+    k = 1e-13 * np.exp(1.0 * rng.standard_normal(g.shape))
+    # full z-column wells as in test_sharded_3d_two_phase_step: single-cell
+    # corner wells at this Δt trip the line-search blow-up guard for EVERY
+    # stage-2 smoother (verified bjac/rbgs/zebra identical), which would
+    # test the controller, not the sharding
+    wells = [
+        Well(cells=tuple((0, 0, iz) for iz in range(6)), control="bhp",
+             p_bh=4.0e7, T_inj=420.0),
+        Well(cells=tuple((7, 15, iz) for iz in range(6)), control="bhp",
+             p_bh=1.5e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, kz=0.3 * k, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp)
+
+    cfg = NewtonConfig(rtol=1e-8, ksp_rtol=1e-6, ksp_maxiter=80)
+    # 1 sweep: undamped ×2 line sweeps can destabilize Newton on small
+    # stiff systems (the instability family in the BASELINE.md ledger);
+    # the sharding-equality property is sweep-count-independent
+    pc = CPRConfig(stage2="zebra", stage2_axis=2, stage2_sweeps=1)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg, pc_cfg=pc)
+    u0 = model.initial_state(data)
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+    assert bool(stats_ref.converged)
+
+    mesh = make_grid_mesh(8)
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      newton_cfg=cfg, pc_cfg=pc)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]),
+                               atol=10.0)
+    np.testing.assert_allclose(np.asarray(u_out[2]), np.asarray(u_ref[2]),
+                               atol=1e-8)
+    assert len(u_out.sharding.device_set) == 8
+
+
+def test_sharded_adjoint_matches_single_device():
+    """The adjoint backward sweep (transposed stencil + vjp operator) is
+    the same shift/elementwise algebra as the forward pass — sharded
+    gradients must match single-device to rounding."""
+    from thermalporous_tpu.solve import adjoint_gradients, record_trajectory
+
+    pp = PhysicalParams()
+    g = Grid(shape=(8, 16), spacing=(10.0, 10.0), thickness=5.0)
+    rng = np.random.default_rng(21)
+    k = 1e-13 * np.exp(0.8 * rng.standard_normal(g.shape))
+    data = make_problem_data(g, pp, kx=k, phi=0.2, wells=[
+        Well(cells=((0, 0),), control="bhp", p_bh=3.0e7, T_inj=420.0),
+        Well(cells=((7, 15),), control="bhp", p_bh=1.0e7),
+    ])
+    model = TwoPhaseModel(g, pp)
+    dts = [43200.0, 86400.0]
+
+    def terminal(u, d):
+        return jnp.mean(u[1, :5, :6])
+
+    cfg = NewtonConfig(rtol=1e-11, ksp_rtol=1e-9, ksp_maxiter=120)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+    states = record_trajectory(sim, model.initial_state(data), dts)
+    ref = adjoint_gradients(model, data, states, dts, terminal=terminal,
+                            rtol=1e-10, maxiter=240)
+
+    mesh = make_grid_mesh(8)
+    data_s = shard_problem_data(data, mesh)
+    states_s = [shard_state(u, mesh) for u in states]
+    got = adjoint_gradients(model, data_s, states_s, dts, terminal=terminal,
+                            rtol=1e-10, maxiter=240)
+    assert got.converged
+    scale = float(jnp.abs(ref.grad_data.phi).max())
+    np.testing.assert_allclose(np.asarray(got.grad_data.phi),
+                               np.asarray(ref.grad_data.phi),
+                               atol=1e-8 * scale, rtol=1e-8)
+    st_scale = float(jnp.abs(ref.grad_data.tgeo[0]).max())
+    np.testing.assert_allclose(np.asarray(got.grad_data.tgeo[0]),
+                               np.asarray(ref.grad_data.tgeo[0]),
+                               atol=1e-8 * st_scale, rtol=1e-8)
+
+
 def test_sharded_variational_transfer_match():
     """transfer='variational' (R=Pᵀ, box Galerkin levels): shifts, masks
     and pairwise block-sums only, so a sharded run must match
