@@ -264,42 +264,53 @@ def block_red_black_gauss_seidel(
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 
-def block_tridiag_solve_along(
+def block_tridiag_factor(
     axis: int,
     lower: jax.Array,
     diag: jax.Array,
     upper: jax.Array,
-    b: jax.Array,
-) -> jax.Array:
-    """Solve independent BLOCK-tridiagonal systems along ``axis``.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Forward-eliminate the block-tridiagonal part along ``axis`` once.
 
-    The block Thomas algorithm as two ``lax.scan``s: blocks are
-    (nc, nc, *shape) in the :class:`BlockStencil` convention (``upper[i]``
-    couples i→i+1, zero on the last slice), ``b`` is (nc, *shape).  Each
-    scan step inverts the modified diagonal blocks with the closed-form
-    ``invert_blocks`` (elementwise, VPU) and runs one fused pass over the
-    whole transverse plane — e.g. full-SPE10 y-lines: 220 steps × a
-    60×85-line batch.  This is the coupling-propagation primitive the
-    flat-parallel block smoothers lack: information crosses the ENTIRE
-    line in one application (the reference's sequential ILU(0) role,
-    SURVEY.md §2.15, made TPU-parallel by batching lines).
+    Returns ``(lo, c, dinv)`` in line-axis-major layout: the Thomas
+    multipliers ``c_i = (d_i − l_i c_{i−1})⁻¹ u_i`` and the modified
+    diagonal inverses.  The factorization depends only on the stencil,
+    so it is computed ONCE per preconditioner setup and shared by every
+    color half-sweep of every zebra application (each block-Thomas
+    factor costs an ``invert_blocks`` per scan step — recomputing it
+    2×sweeps times per apply was the dominant cost of the smoother).
     """
     mvb = lambda a_: jnp.moveaxis(a_, 2 + axis, 0)   # (n, nc, nc, *other)
-    mvv = lambda a_: jnp.moveaxis(a_, 1 + axis, 0)   # (n, nc, *other)
-    lo, d, up, rhs = mvb(lower), mvb(diag), mvb(upper), mvv(b)
+    lo, d, up = mvb(lower), mvb(diag), mvb(upper)
 
-    def fwd(carry, row):
-        c_prev, y_prev = carry
-        l_i, d_i, u_i, b_i = row
-        denom = d_i - multiply_blocks(l_i, c_prev)
-        dinv = invert_blocks(denom)
+    def fwd(c_prev, row):
+        l_i, d_i, u_i = row
+        dinv = invert_blocks(d_i - multiply_blocks(l_i, c_prev))
         c_i = multiply_blocks(dinv, u_i)
-        y_i = apply_blocks(dinv, b_i - apply_blocks(l_i, y_prev))
-        return (c_i, y_i), (c_i, y_i)
+        return c_i, (c_i, dinv)
 
     zb = jnp.zeros_like(d[0])
+    _, (c, dinv) = jax.lax.scan(fwd, zb, (lo, d, up))
+    return lo, c, dinv
+
+
+def block_tridiag_solve_factored(
+    axis: int,
+    factor: tuple[jax.Array, jax.Array, jax.Array],
+    b: jax.Array,
+) -> jax.Array:
+    """Solve with a precomputed :func:`block_tridiag_factor` (two scans,
+    no block inversions)."""
+    lo, c, dinv = factor
+    rhs = jnp.moveaxis(b, 1 + axis, 0)               # (n, nc, *other)
+
+    def fwd(y_prev, row):
+        l_i, dinv_i, b_i = row
+        y_i = apply_blocks(dinv_i, b_i - apply_blocks(l_i, y_prev))
+        return y_i, y_i
+
     zv = jnp.zeros_like(rhs[0])
-    _, (c, y) = jax.lax.scan(fwd, (zb, zv), (lo, d, up, rhs))
+    _, y = jax.lax.scan(fwd, zv, (lo, dinv, rhs))
 
     def bwd(x_next, row):
         c_i, y_i = row
@@ -310,6 +321,29 @@ def block_tridiag_solve_along(
     return jnp.moveaxis(x, 0, 1 + axis)
 
 
+def block_tridiag_solve_along(
+    axis: int,
+    lower: jax.Array,
+    diag: jax.Array,
+    upper: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """Solve independent BLOCK-tridiagonal systems along ``axis``.
+
+    The block Thomas algorithm as ``lax.scan``s: blocks are
+    (nc, nc, *shape) in the :class:`BlockStencil` convention (``upper[i]``
+    couples i→i+1, zero on the last slice), ``b`` is (nc, *shape).  Each
+    scan step runs one fused pass over the whole transverse plane —
+    e.g. full-SPE10 y-lines: 220 steps × a 60×85-line batch.  This is
+    the coupling-propagation primitive the flat-parallel block smoothers
+    lack: information crosses the ENTIRE line in one application (the
+    reference's sequential ILU(0) role, SURVEY.md §2.15, made
+    TPU-parallel by batching lines).
+    """
+    return block_tridiag_solve_factored(
+        axis, block_tridiag_factor(axis, lower, diag, upper), b)
+
+
 def block_zebra_line_gs(
     st: BlockStencil,
     b: jax.Array,
@@ -317,6 +351,7 @@ def block_zebra_line_gs(
     axis: int = 1,
     sweeps: int = 1,
     omega: float = 1.0,
+    factor: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Zebra (red-black line) BLOCK Gauss–Seidel along ``axis``.
 
@@ -333,14 +368,15 @@ def block_zebra_line_gs(
     if x is None:
         x = jnp.zeros_like(b)
     a = axis % len(st.grid_shape)
-    lo, up = st.lower[a], st.upper[a]
+    if factor is None:
+        factor = block_tridiag_factor(a, st.lower[a], st.diag, st.upper[a])
     red = _line_mask(st.grid_shape, a, 0, b.dtype)
     black = 1.0 - red
 
     def body(_, x):
-        x = x + omega * red * block_tridiag_solve_along(
-            a, lo, st.diag, up, b - st.matvec(x))
-        return x + omega * black * block_tridiag_solve_along(
-            a, lo, st.diag, up, b - st.matvec(x))
+        x = x + omega * red * block_tridiag_solve_factored(
+            a, factor, b - st.matvec(x))
+        return x + omega * black * block_tridiag_solve_factored(
+            a, factor, b - st.matvec(x))
 
     return jax.lax.fori_loop(0, sweeps, body, x)

@@ -140,6 +140,9 @@ class CPRState:
     a_sp: ScalarStencil | None = None  # S-equation ← p coupling (s_stage)
     a_st: ScalarStencil | None = None  # S-equation ← T coupling (s_stage)
     a_ss: ScalarStencil | None = None  # S-S transport operator (s_stage)
+    # block-Thomas factorization for stage2="zebra" (computed once per
+    # setup; each apply reuses it for every color half-sweep)
+    zebra_fac: tuple | None = None
 
 
 def _decoupling_weights(
@@ -198,9 +201,16 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
     else:
         gmg_t = None
         a_tp = None
+    zebra_fac = None
+    if cfg.stage2 == "zebra":
+        from thermalporous_tpu.precond.chebyshev import block_tridiag_factor
+
+        a = cfg.stage2_axis % len(stencil.grid_shape)
+        zebra_fac = block_tridiag_factor(
+            a, stencil.lower[a], stencil.diag, stencil.upper[a])
     return CPRState(
         stencil=stencil, dinv=dinv, w=w, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp,
-        pt=pt, a_sp=a_sp, a_st=a_st, a_ss=a_ss,
+        pt=pt, a_sp=a_sp, a_st=a_st, a_ss=a_ss, zebra_fac=zebra_fac,
     )
 
 
@@ -296,8 +306,11 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
         r2 = r - state.stencil.matvec(x1)
         return x1 + block_zebra_line_gs(
             state.stencil, r2, axis=cfg.stage2_axis,
-            sweeps=cfg.stage2_sweeps, omega=cfg.stage2_omega
+            sweeps=cfg.stage2_sweeps, omega=cfg.stage2_omega,
+            factor=state.zebra_fac,
         )
+    if cfg.stage2 != "none":
+        raise ValueError(f"unknown stage2 {cfg.stage2!r}")
     return x1
 
 

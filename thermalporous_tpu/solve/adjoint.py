@@ -40,6 +40,7 @@ FLOPs-for-memory trade inside a step.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Callable, Sequence
 
 import jax
@@ -61,6 +62,22 @@ class AdjointResult:
 
 def _zeros_like_tree(tree):
     return jax.tree.map(jnp.zeros_like, tree)
+
+
+# Compiled backward-step functions, cached per model so an optimization
+# loop (N calls to adjoint_gradients with the same model/config/shapes)
+# traces once instead of once per call — on axon, remote compiles of the
+# CPTR+GMG backward program take minutes each.  Weak keys: dropping the
+# model drops its cache.  The objective callables are part of the key by
+# identity (define them once outside the loop to benefit).
+_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached(model, key, build):
+    per_model = _STEP_CACHE.setdefault(model, {})
+    if key not in per_model:
+        per_model[key] = build()
+    return per_model[key]
 
 
 def adjoint_gradients(
@@ -100,46 +117,63 @@ def adjoint_gradients(
     if len(states) != n + 1:
         raise ValueError(f"states ({len(states)}) must be dts+1 ({n + 1})")
 
-    setup, apply = make_preconditioner(precond, pc_cfg)
+    def build_terminal():
+        @jax.jit
+        def terminal_vjps(u_n, data):
+            if terminal is None:
+                z = jnp.zeros((), dtype=u_n.dtype)
+                return z, jnp.zeros_like(u_n), _zeros_like_tree(data)
+            val, vjp = jax.vjp(terminal, u_n, data)
+            lam, gd = vjp(jnp.ones_like(val))
+            return val, lam, gd
 
-    @jax.jit
-    def terminal_vjps(u_n, data):
-        if terminal is None:
-            z = jnp.zeros((), dtype=u_n.dtype)
-            return z, jnp.zeros_like(u_n), _zeros_like_tree(data)
-        val, vjp = jax.vjp(terminal, u_n, data)
-        lam, gd = vjp(jnp.ones_like(val))
-        return val, lam, gd
+        return terminal_vjps
 
-    @jax.jit
-    def running_vjps(u_k, dt, data):
-        if running is None:
-            z = jnp.zeros((), dtype=u_k.dtype)
-            return z, jnp.zeros_like(u_k), _zeros_like_tree(data)
-        val, vjp = jax.vjp(lambda u, d: running(u, dt, d), u_k, data)
-        lam, gd = vjp(jnp.ones_like(val))
-        return val, lam, gd
+    def build_running():
+        @jax.jit
+        def running_vjps(u_k, dt, data):
+            if running is None:
+                z = jnp.zeros((), dtype=u_k.dtype)
+                return z, jnp.zeros_like(u_k), _zeros_like_tree(data)
+            val, vjp = jax.vjp(lambda u, d: running(u, dt, d), u_k, data)
+            lam, gd = vjp(jnp.ones_like(val))
+            return val, lam, gd
 
-    @jax.jit
-    def backward_step(u_new, u_old, dt, data, lam):
-        """Solve (∂F/∂u_new)ᵀ μ = λ, return (λ_prev_contrib, ḡ_contrib)."""
-        st = model.assemble_stencil(u_new, u_old, dt, data)
-        pc_state = setup(st.transpose())
+        return running_vjps
 
-        _, vjp_fn = jax.vjp(
-            lambda un, uo, d: model.residual(un, uo, dt, d),
-            u_new, u_old, data,
-        )
+    def build_backward():
+        setup, apply = make_preconditioner(precond, pc_cfg)
 
-        def matvec_t(v):
-            return vjp_fn(v)[0]
+        @jax.jit
+        def backward_step(u_new, u_old, dt, data, lam):
+            """Solve (∂F/∂u_new)ᵀ μ = λ, return (λ_prev, ḡ) contributions."""
+            st = model.assemble_stencil(u_new, u_old, dt, data)
+            pc_state = setup(st.transpose())
 
-        res = fgmres(matvec_t, lam,
-                     precond=lambda r: apply(pc_state, r),
-                     rtol=rtol, maxiter=maxiter)
-        mu = res.x
-        _, w_old, w_data = vjp_fn(mu)
-        return -w_old, jax.tree.map(jnp.negative, w_data), res.iters, res.converged
+            _, vjp_fn = jax.vjp(
+                lambda un, uo, d: model.residual(un, uo, dt, d),
+                u_new, u_old, data,
+            )
+
+            def matvec_t(v):
+                return vjp_fn(v)[0]
+
+            res = fgmres(matvec_t, lam,
+                         precond=lambda r: apply(pc_state, r),
+                         rtol=rtol, maxiter=maxiter)
+            mu = res.x
+            _, w_old, w_data = vjp_fn(mu)
+            return (-w_old, jax.tree.map(jnp.negative, w_data),
+                    res.iters, res.converged)
+
+        return backward_step
+
+    pc_key = repr(pc_cfg)
+    terminal_vjps = _cached(model, ("term", terminal), build_terminal)
+    running_vjps = _cached(model, ("run", running), build_running)
+    backward_step = _cached(
+        model, ("bwd", precond, pc_key, float(rtol), int(maxiter)),
+        build_backward)
 
     u_n = states[n]
     value, lam, grad_data = terminal_vjps(u_n, data)
@@ -154,8 +188,11 @@ def adjoint_gradients(
             states[k], states[k - 1], dt_k, data, lam)
         grad_data = jax.tree.map(jnp.add, grad_data, gd)
         lam = lam_prev
-        total_ksp += int(iters)
-        all_conv = all_conv and bool(conv)
+        # one host fetch per step (axon: every scalar fetch is a round
+        # trip — CLAUDE.md measurement discipline)
+        it, cv = jax.device_get((iters, conv))
+        total_ksp += int(it)
+        all_conv = all_conv and bool(cv)
     return AdjointResult(value=value, grad_data=grad_data, grad_u0=lam,
                          ksp_iters=total_ksp, converged=all_conv)
 

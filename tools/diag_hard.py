@@ -96,65 +96,58 @@ def main():
         return not only or any(s in tag.lower() for s in only)
 
     # --- scalar subsystem probes -------------------------------------
-    def scalar_solve(tag, field, gmg_cfg):
+    def scalar_probe(tag, field, make_precond):
+        """FGMRES on one decoupled scalar row; ``make_precond(app)`` builds
+        the jit-traceable r ↦ M⁻¹r closure for it."""
         if not want(tag):
             return
         w = _decoupling_weights(st, base)
-        dec = st.scale_rows(w)
-        app = dec.scalar(field, field)
+        app = st.scale_rows(w).scalar(field, field)
 
         @jax.jit
-        def run(app, f):
-            state = gmg_setup(app, gmg_cfg)
+        def run(app, w, f):
             from thermalporous_tpu.precond.cpr import apply_blocks
-            rhs = apply_blocks(_decoupling_weights(st, base), -f)[field]
-            res = fgmres(app.matvec, rhs,
-                         precond=lambda r: gmg_apply(state, r, gmg_cfg),
+            rhs = apply_blocks(w, -f)[field]
+            res = fgmres(app.matvec, rhs, precond=make_precond(app),
                          rtol=1e-3, maxiter=200)
             return res.iters, res.converged
 
-        it, conv = jax.device_get(run(app, f))
+        it, conv = jax.device_get(run(app, w, f))
         print(f"{tag:46s} iters={int(it):4d} conv={bool(conv)}")
 
-    def scalar_smooth_solve(tag, field, s_stage, sweeps, axis=0):
-        """FGMRES on a decoupled scalar row preconditioned by SWEEPS only —
-        how hard is this row by itself under the s_stage smoother class?"""
-        if not want(tag):
-            return
-        w = _decoupling_weights(st, base)
-        dec = st.scale_rows(w)
-        app = dec.scalar(field, field)
+    def gmg_pc(gmg_cfg):
+        def make(app):
+            state = gmg_setup(app, gmg_cfg)
+            return lambda r: gmg_apply(state, r, gmg_cfg)
+        return make
+
+    def smooth_pc(s_stage, sweeps, axis=0):
         pc = dataclasses.replace(base, s_stage=s_stage, s_sweeps=sweeps,
                                  s_axis=axis)
 
-        @jax.jit
-        def run(app, f):
-            from thermalporous_tpu.precond.cpr import _s_smooth, apply_blocks
-            rhs = apply_blocks(_decoupling_weights(st, base), -f)[field]
-            res = fgmres(app.matvec, rhs,
-                         precond=lambda r: _s_smooth(app, r, pc),
-                         rtol=1e-3, maxiter=200)
-            return res.iters, res.converged
+        def make(app):
+            from thermalporous_tpu.precond.cpr import _s_smooth
+            return lambda r: _s_smooth(app, r, pc)
+        return make
 
-        it, conv = jax.device_get(run(app, f))
-        print(f"{tag:46s} iters={int(it):4d} conv={bool(conv)}")
-
-    scalar_solve("PRESSURE system alone, production gmg", 0, base.gmg)
-    scalar_solve("TEMPERATURE system alone, production gmg", 1, base.gmg)
+    scalar_probe("PRESSURE system alone, production gmg", 0, gmg_pc(base.gmg))
+    scalar_probe("TEMPERATURE system alone, production gmg", 1,
+                 gmg_pc(base.gmg))
     if model.nc >= 3:
-        scalar_smooth_solve("SATURATION alone, rbgs x2 pc", 2, "rbgs", 2)
-        scalar_smooth_solve("SATURATION alone, rbgs x8 pc", 2, "rbgs", 8)
-        scalar_smooth_solve("SATURATION alone, zebra y x2 pc", 2, "zebra", 2,
-                            axis=1)
-        scalar_solve("SATURATION alone, production gmg", 2, base.gmg)
+        scalar_probe("SATURATION alone, rbgs x2 pc", 2, smooth_pc("rbgs", 2))
+        scalar_probe("SATURATION alone, rbgs x8 pc", 2, smooth_pc("rbgs", 8))
+        scalar_probe("SATURATION alone, zebra y x2 pc", 2,
+                     smooth_pc("zebra", 2, axis=1))
+        scalar_probe("SATURATION alone, production gmg", 2, gmg_pc(base.gmg))
     g2 = dataclasses.replace(base.gmg, cycles=2)
-    scalar_solve("pressure alone, 2 cycles", 0, g2)
+    scalar_probe("pressure alone, 2 cycles", 0, gmg_pc(g2))
     gv = dataclasses.replace(base.gmg, transfer="weighted")
-    scalar_solve("pressure alone, weighted-P", 0, gv)
+    scalar_probe("pressure alone, weighted-P", 0, gmg_pc(gv))
     for floor in (0.5, 0.0):
         gva = dataclasses.replace(base.gmg, transfer="variational",
                                   transfer_floor=floor)
-        scalar_solve(f"pressure alone, VARIATIONAL floor={floor}", 0, gva)
+        scalar_probe(f"pressure alone, VARIATIONAL floor={floor}", 0,
+                     gmg_pc(gva))
 
     # --- full-system CPTR variants -----------------------------------
     def solve(tag, pc_cfg, maxiter=200):
