@@ -33,6 +33,25 @@ def test_decoupling_variants_match_oracle(decoupling):
     _compare_states(u, oracle_states[0])
 
 
+@pytest.mark.parametrize("pc_dtype", ["bf16", "bf16_gmg", "bf16_s2"])
+def test_pc_dtype_bf16_matches_oracle(pc_dtype):
+    """bf16 PC-coefficient storage is preconditioning only — same answers.
+
+    Newton gates on the true (full-precision) residual, so rounding the
+    stored PC coefficients to bf16 may shift iteration counts but must not
+    move the converged states (cpr.py::CPRConfig.pc_dtype).
+    """
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(model, data, precond="cptr",
+                    pc_cfg=CPRConfig(pc_dtype=pc_dtype), newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    u, stats = sim.step(u, dts[0])
+    assert bool(stats.converged), pc_dtype
+    _compare_states(u, oracle_states[0])
+
+
 def test_pc_lag_step_matches_and_converges():
     model, data = _sp_case(n=12)
     dts = [3600.0, 7200.0]

@@ -7,6 +7,12 @@ from thermalporous_tpu.precond.chebyshev import (
     weighted_jacobi,
     zebra_line_gs,
 )
+from thermalporous_tpu.precond.block_gmg import (
+    BlockGMGState,
+    block_galerkin_coarsen,
+    block_gmg_apply,
+    block_gmg_setup,
+)
 from thermalporous_tpu.precond.cpr import (
     CPRConfig,
     CPRState,
@@ -26,6 +32,10 @@ from thermalporous_tpu.precond.gmg import (
 )
 
 __all__ = [
+    "BlockGMGState",
+    "block_galerkin_coarsen",
+    "block_gmg_apply",
+    "block_gmg_setup",
     "chebyshev",
     "gershgorin_lambda_max",
     "line_jacobi",

@@ -53,13 +53,19 @@ class CPRConfig:
     # wall is the (p,T,S) COUPLING needing O(100)-cell propagation along
     # channels, which point smoothers carry one cell per sweep and exact
     # line solves carry across the whole line; tools/diag_hard.py,
-    # BASELINE.md round-3 ledger), "none"
+    # BASELINE.md round-3 ledger), "bgmg" (coupled block geometric
+    # multigrid on the FULL system — Galerkin block coarsening + block
+    # RBGS smoothing + dense coupled coarse solve, precond/block_gmg.py:
+    # the coarse-grid correction that carries the long-range coupling
+    # modes point/line smoothers cannot), "none"
     stage2: str = "block_jacobi"
     stage2_sweeps: int = 1           # rbgs/zebra sweeps
     stage2_axis: int = 1             # zebra line axis (1 = SPE10 channel y)
     stage2_omega: float = 1.0        # zebra under-relaxation (stability at
                                      # extreme contrast; measured ledger in
                                      # BASELINE.md round-3)
+    bgmg_coarse_cells: int = 256     # stage2="bgmg": coarsest-level size
+    bgmg_cycles: int = 1             # stage2="bgmg": V-cycles per apply
     triangular: bool = True          # CPTR stage-1: triangular vs block-diagonal
     # decoupling operator W ([P1] §4, [P2] §3):
     #   "qimpes" — Quasi-IMPES: eliminate only the last-unknown coupling of
@@ -98,7 +104,38 @@ class CPRConfig:
     s_stage: str = "none"
     s_sweeps: int = 2
     s_axis: int = 0
+    # Storage dtype of the PC-internal coefficient arrays ("f32" | "bf16").
+    # The roofline (BASELINE.md round 3) puts the CPTR apply at 716 MiB per
+    # FGMRES iteration — the #2 traffic term after CGS2 basis streaming —
+    # and almost all of it is streaming stencil coefficients (GMG level
+    # stencils under deg-4 Chebyshev, the stage-2 block stencil, W, D⁻¹).
+    # "bf16" computes the SETUP in full precision and then casts only the
+    # stored coefficients; every apply still runs f32 vector arithmetic
+    # (bf16 coef × f32 vec promotes to f32), so this halves the PC's HBM
+    # traffic at a ~0.4% coefficient rounding that FGMRES absorbs (the PC
+    # is flexible-preconditioning territory; the Krylov operator and true
+    # residual stay full-precision in solve/newton.py).  Exceptions kept
+    # full precision: the coarsest-level dense inverse (latency- not
+    # bandwidth-bound), Chebyshev λ estimates (scalars), the zebra
+    # block-Thomas factorization (a sequential recurrence that compounds
+    # rounding), and weighted-transfer weights.
+    pc_dtype: str = "f32"
     gmg: GMGConfig = GMGConfig()
+
+
+def _cast_floats(dtype):
+    """Tree-cast every floating leaf of a (possibly None) pytree."""
+
+    def go(tree):
+        if tree is None:
+            return None
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree,
+        )
+
+    return go
 
 
 def _impes_weights(d: jax.Array) -> jax.Array:
@@ -143,6 +180,8 @@ class CPRState:
     # block-Thomas factorization for stage2="zebra" (computed once per
     # setup; each apply reuses it for every color half-sweep)
     zebra_fac: tuple | None = None
+    # coupled block hierarchy for stage2="bgmg" (precond/block_gmg.py)
+    bgmg: object | None = None
 
 
 def _decoupling_weights(
@@ -208,9 +247,40 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
         a = cfg.stage2_axis % len(stencil.grid_shape)
         zebra_fac = block_tridiag_factor(
             a, stencil.lower[a], stencil.diag, stencil.upper[a])
+    bgmg = None
+    if cfg.stage2 == "bgmg":
+        from thermalporous_tpu.precond.block_gmg import block_gmg_setup
+
+        bgmg = block_gmg_setup(
+            stencil, cfg.gmg, max_coarse_cells=cfg.bgmg_coarse_cells)
+    if cfg.pc_dtype != "f32":
+        # Cast ONLY the stored coefficients (see CPRConfig.pc_dtype): setup
+        # ran in full precision above, applies still do f32 vector math.
+        # The selective groups exist to bisect quality loss: "bf16_gmg"
+        # casts the stage-1 hierarchies only, "bf16_s2" the full-system
+        # stage-2 stencil/D⁻¹ only, "bf16" everything.
+        if cfg.pc_dtype not in ("bf16", "bf16_gmg", "bf16_s2"):
+            raise ValueError(f"unknown pc_dtype {cfg.pc_dtype!r}")
+        cast = _cast_floats(jnp.bfloat16)
+        if cfg.pc_dtype in ("bf16", "bf16_s2"):
+            stencil, dinv = cast(stencil), cast(dinv)
+            if bgmg is not None:
+                bgmg = dataclasses.replace(
+                    bgmg, stencils=cast(bgmg.stencils),
+                    dinvs=cast(bgmg.dinvs))
+        if cfg.pc_dtype in ("bf16", "bf16_gmg"):
+            a_tp = cast(a_tp)
+            gmg_p = dataclasses.replace(gmg_p, stencils=cast(gmg_p.stencils))
+            if gmg_t is not None:
+                gmg_t = dataclasses.replace(
+                    gmg_t, stencils=cast(gmg_t.stencils))
+        if cfg.pc_dtype == "bf16":
+            w, pt = cast(w), cast(pt)
+            a_sp, a_st, a_ss = cast(a_sp), cast(a_st), cast(a_ss)
     return CPRState(
         stencil=stencil, dinv=dinv, w=w, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp,
         pt=pt, a_sp=a_sp, a_st=a_st, a_ss=a_ss, zebra_fac=zebra_fac,
+        bgmg=bgmg,
     )
 
 
@@ -308,6 +378,14 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
             state.stencil, r2, axis=cfg.stage2_axis,
             sweeps=cfg.stage2_sweeps, omega=cfg.stage2_omega,
             factor=state.zebra_fac,
+        )
+    if cfg.stage2 == "bgmg":
+        from thermalporous_tpu.precond.block_gmg import block_gmg_apply
+
+        r2 = r - state.stencil.matvec(x1)
+        return x1 + block_gmg_apply(
+            state.bgmg, r2, cfg.gmg,
+            sweeps=cfg.stage2_sweeps, cycles=cfg.bgmg_cycles,
         )
     if cfg.stage2 != "none":
         raise ValueError(f"unknown stage2 {cfg.stage2!r}")

@@ -125,6 +125,20 @@ VARIANTS = {
     "stencil-every-deg4-bf16-ksp2-zebra": (
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2), dict(degree=4), False),
+    # bf16 PC-coefficient storage (CPRConfig.pc_dtype): halves the #2
+    # roofline traffic term (CPTR apply, 716 MiB/iter); setup stays f32,
+    # applies stay f32 vector math.  CPU A/B: +5% iterations.
+    "stencil-every-deg4-bf16-ksp2-pcbf16": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4), False),
+    # selective groups (hard-system bisect at dt=38.4 ks: f32 69 iters,
+    # all-bf16 90, gmg-only 77, stage2-only 73 — tools/diag_hard.py)
+    "stencil-every-deg4-bf16-ksp2-pcbf16s2": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4), False),
+    "stencil-every-deg4-bf16-ksp2-pcbf16g": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2), dict(degree=4), False),
 }
 
 
@@ -144,6 +158,12 @@ def run_variant(name, model, data, u0, nsteps):
         pc_kw.update(s_stage="rbgs", s_sweeps=2)
     if "zebra" in name:
         pc_kw.update(stage2="zebra", stage2_axis=1)
+    if "pcbf16s2" in name:
+        pc_kw.update(pc_dtype="bf16_s2")
+    elif "pcbf16g" in name:
+        pc_kw.update(pc_dtype="bf16_gmg")
+    elif "pcbf16" in name:
+        pc_kw.update(pc_dtype="bf16")
     pc_cfg = CPRConfig(gmg=GMGConfig(**gkw), **pc_kw)
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg, fuse=fuse))
 

@@ -169,6 +169,18 @@ def main():
     A = dict(coarsen="adaptive", cycle_type="k", max_coarse_cells=1024)
     solve("cptr production (adaptive deg4 s2rbgs)",
           CPRConfig(stage2="rbgs", gmg=GMGConfig(degree=4, **A)))
+    # bf16 PC-coefficient storage bisected: which half loses quality at
+    # SPE10 contrast + large dt (measured on the ramp: 27-31/N at 38.4 ks
+    # under full bf16 vs ~18/N f32)?
+    solve("cptr production, PCBF16 all",
+          CPRConfig(stage2="rbgs", pc_dtype="bf16",
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr production, PCBF16 gmg-only",
+          CPRConfig(stage2="rbgs", pc_dtype="bf16_gmg",
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr production, PCBF16 stage2-only",
+          CPRConfig(stage2="rbgs", pc_dtype="bf16_s2",
+                    gmg=GMGConfig(degree=4, **A)))
     solve("cptr, stage2 NONE",
           CPRConfig(stage2="none", gmg=GMGConfig(degree=4, **A)))
     solve("cptr, stage2 rbgs x2",
@@ -176,6 +188,21 @@ def main():
                     gmg=GMGConfig(degree=4, **A)))
     solve("cptr, stage2 rbgs x4",
           CPRConfig(stage2="rbgs", stage2_sweeps=4,
+                    gmg=GMGConfig(degree=4, **A)))
+    # coupled block-GMG stage 2 (precond/block_gmg.py): the coarse-grid
+    # correction of the FULL system targeting the long-range coupling
+    # modes the diagnosis identified
+    solve("cptr, stage2 BGMG c256",
+          CPRConfig(stage2="bgmg", bgmg_coarse_cells=256,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 BGMG c1024",
+          CPRConfig(stage2="bgmg", bgmg_coarse_cells=1024,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 BGMG c256 x2sweeps",
+          CPRConfig(stage2="bgmg", bgmg_coarse_cells=256, stage2_sweeps=2,
+                    gmg=GMGConfig(degree=4, **A)))
+    solve("cptr, stage2 BGMG c256 cyc2",
+          CPRConfig(stage2="bgmg", bgmg_coarse_cells=256, bgmg_cycles=2,
                     gmg=GMGConfig(degree=4, **A)))
     solve("cptr, stage2 ZEBRA y x1",
           CPRConfig(stage2="zebra", stage2_axis=1,

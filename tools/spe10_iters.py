@@ -128,6 +128,20 @@ def main():
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
             dict(coarsen="adaptive", degree=4)),
+        # bf16 PC-coefficient storage on the production preset (selective
+        # groups: hard-system bisect f32 69 / all 90 / gmg 77 / s2 73)
+        "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-pcbf16": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-pcbf16s2": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-pcbf16g": (
+            dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
         "every-zebra": (dict(pc_lag="every"),
                         dict(smoother="zebra", degree=1)),
         "every-adapt-zebra": (dict(pc_lag="every"),
@@ -152,6 +166,12 @@ def main():
             pc_kw.update(stage2="rbgs", stage2_sweeps=1)
         if "sstage" in name:
             pc_kw.update(s_stage="rbgs", s_sweeps=2)
+        if "pcbf16s2" in name:
+            pc_kw.update(pc_dtype="bf16_s2")
+        elif "pcbf16g" in name:
+            pc_kw.update(pc_dtype="bf16_gmg")
+        elif "pcbf16" in name:
+            pc_kw.update(pc_dtype="bf16")
         if "zebraz" in name:
             pc_kw.update(stage2="zebra", stage2_axis=2,
                          stage2_sweeps=2 if "zebraz2" in name else 1)
