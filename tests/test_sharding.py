@@ -209,6 +209,46 @@ def test_sharded_stage2_zebra_z_match():
     assert len(u_out.sharding.device_set) == 8
 
 
+def test_sharded_stage2_bgmg_match():
+    """stage2='bgmg': the coupled block hierarchy (Galerkin block
+    coarsening, block-RBGS levels, dense coupled coarse solve) must give
+    identical counts and matching states under the device mesh."""
+    from thermalporous_tpu.precond import CPRConfig
+
+    pp = PhysicalParams()
+    g = Grid(shape=(8, 16, 6), spacing=(10.0, 10.0, 4.0), gravity=9.81)
+    rng = np.random.default_rng(13)
+    k = 1e-13 * np.exp(1.0 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=tuple((0, 0, iz) for iz in range(6)), control="bhp",
+             p_bh=4.0e7, T_inj=420.0),
+        Well(cells=tuple((7, 15, iz) for iz in range(6)), control="bhp",
+             p_bh=1.5e7),
+    ]
+    data = make_problem_data(g, pp, kx=k, kz=0.3 * k, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp)
+
+    cfg = NewtonConfig(rtol=1e-8, ksp_rtol=1e-6, ksp_maxiter=80)
+    pc = CPRConfig(stage2="bgmg", bgmg_coarse_cells=96)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg, pc_cfg=pc)
+    u0 = model.initial_state(data)
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+    assert bool(stats_ref.converged)
+
+    mesh = make_grid_mesh(8)
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      newton_cfg=cfg, pc_cfg=pc)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]),
+                               atol=10.0)
+    np.testing.assert_allclose(np.asarray(u_out[2]), np.asarray(u_ref[2]),
+                               atol=1e-8)
+    assert len(u_out.sharding.device_set) == 8
+
+
 def test_sharded_adjoint_matches_single_device():
     """The adjoint backward sweep (transposed stencil + vjp operator) is
     the same shift/elementwise algebra as the forward pass — sharded
