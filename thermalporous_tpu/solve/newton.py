@@ -53,6 +53,15 @@ class NewtonConfig:
     # the inexact-Newton regime (loose ksp_rtol, true-residual Newton
     # gate) can absorb — a measured lever, see BASELINE.md.
     ksp_orth: str = "cgs2"
+    # Krylov-subspace recycling dimension (0 = off).  k > 0 carries a
+    # k-column recycle space across the Newton iterations of a solve
+    # (FGCRO-DR-style deflation, solve/deflate.py): each linear solve is
+    # deflated by the k slowest modes harvested from the previous one.
+    # The dt-ramp wall on full SPE10 is a handful of slow coupled
+    # (p,T,S) modes that every Newton iteration otherwise rediscovers
+    # (BASELINE.md round-3 ledger) — exactly the recycling use case.
+    # Incompatible with ksp_restart.
+    ksp_recycle: int = 0
     max_backtracks: int = 6
     ls_decrease: float = 1e-4     # accept if ‖F(u+αdx)‖ ≤ (1 − c·α)·‖F(u)‖
     # Line-search acceptance: "armijo" (default — sufficient decrease) or
@@ -189,13 +198,19 @@ def newton_solve(
 
     frozen_pcs = pc_setup(assemble(u0)) if cfg.pc_lag == "step" else None
 
+    recycle = int(cfg.ksp_recycle)
+    if recycle > 0 and cfg.ksp_restart is not None:
+        raise ValueError("ksp_recycle is incompatible with ksp_restart")
+
     def cond(carry):
-        u, f, nrm, k, ksp, failed = carry
+        u, f, nrm, k, ksp, failed = carry[:6]
         go = jnp.logical_and(nrm > tol, k < cfg.max_iters)
         return jnp.logical_and(go, jnp.logical_not(failed))
 
     def body(carry):
-        u, f, nrm, k, ksp, failed = carry
+        u, f, nrm, k, ksp, failed = carry[:6]
+        if recycle > 0:
+            U, umask = carry[6], carry[7]
 
         if cfg.krylov_op in ("stencil", "stencil_pallas"):
             st = assemble(u)            # exact J; one assembly serves both
@@ -209,17 +224,33 @@ def newton_solve(
         else:
             matvec = jvp_at(u)
             pcs = frozen_pcs if cfg.pc_lag == "step" else pc_setup(assemble(u))
-        result = fgmres(
-            matvec,
-            -f,
-            precond=lambda r: pc_apply(pcs, r),
-            rtol=cfg.ksp_rtol,
-            atol=cfg.ksp_atol,
-            maxiter=cfg.ksp_maxiter,
-            restart=cfg.ksp_restart,
-            basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
-            orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
-        )
+        if recycle > 0:
+            from thermalporous_tpu.solve.deflate import fgmres_dr
+
+            result, U, umask = fgmres_dr(
+                matvec,
+                -f,
+                precond=lambda r: pc_apply(pcs, r),
+                U=U,
+                u_mask=umask,
+                rtol=cfg.ksp_rtol,
+                atol=cfg.ksp_atol,
+                maxiter=cfg.ksp_maxiter,
+                basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
+                orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
+            )
+        else:
+            result = fgmres(
+                matvec,
+                -f,
+                precond=lambda r: pc_apply(pcs, r),
+                rtol=cfg.ksp_rtol,
+                atol=cfg.ksp_atol,
+                maxiter=cfg.ksp_maxiter,
+                restart=cfg.ksp_restart,
+                basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
+                orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
+            )
         dx = result.x
         if chop is not None:
             dx = chop(u, dx)
@@ -262,11 +293,19 @@ def newton_solve(
         u_new = jnp.where(failed_now, u, u_new)
         f_new = jnp.where(failed_now, f, f_new)
         n_new = jnp.where(failed_now, nrm, n_new)
-        return (u_new, f_new, n_new, k + 1, ksp + result.iters, failed_now)
+        out = (u_new, f_new, n_new, k + 1, ksp + result.iters, failed_now)
+        if recycle > 0:
+            out = out + (U, umask)
+        return out
 
     carry = (u0, f0, nrm_start, jnp.asarray(0), jnp.asarray(0),
              jnp.asarray(False))
-    u, f, nrm, k, ksp, failed = jax.lax.while_loop(cond, body, carry)
+    if recycle > 0:
+        from thermalporous_tpu.solve.deflate import empty_recycle
+
+        carry = carry + empty_recycle(u0.shape, recycle, u0.dtype)
+    final = jax.lax.while_loop(cond, body, carry)
+    u, f, nrm, k, ksp, failed = final[:6]
 
     converged = nrm <= tol
     stats = NewtonStats(
