@@ -111,6 +111,33 @@ def test_newton_recycle_matches_oracle():
     assert int(st_r.ksp_iters) <= int(st_b.ksp_iters)
 
 
+def test_adjoint_recycle_matches_plain():
+    """The adjoint sweep's recycle option changes iteration counts only —
+    gradients match the plain sweep to solve tolerance."""
+    from thermalporous_tpu.solve import adjoint_gradients, record_trajectory
+
+    model, data = _tp_case(n=6)
+    u0 = model.initial_state(data)
+    dts = [1800.0, 2700.0, 4050.0]
+    sim = Simulator(model, data, precond="cptr", newton_cfg=TIGHT)
+    states = record_trajectory(sim, u0, dts)
+
+    def terminal(u, d):
+        return jnp.mean(u[1, :3, :3])
+
+    plain = adjoint_gradients(model, data, states, dts, terminal=terminal,
+                              rtol=1e-11, maxiter=200)
+    rec = adjoint_gradients(model, data, states, dts, terminal=terminal,
+                            rtol=1e-11, maxiter=200, recycle=4)
+    assert rec.converged
+    np.testing.assert_allclose(np.asarray(rec.grad_u0),
+                               np.asarray(plain.grad_u0),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rec.grad_data.phi),
+                               np.asarray(plain.grad_data.phi),
+                               rtol=1e-6, atol=1e-12)
+
+
 def test_recycle_restart_incompatible():
     model, data = _tp_case(n=6)
     sim = Simulator(model, data, precond="cptr",

@@ -92,6 +92,7 @@ def adjoint_gradients(
     pc_cfg: CPRConfig | None = None,
     rtol: float = 1e-10,
     maxiter: int = 200,
+    recycle: int = 0,
 ) -> AdjointResult:
     """Backward sweep over a recorded trajectory.
 
@@ -106,6 +107,15 @@ def adjoint_gradients(
         preconditioner is built on the transposed stencil.
       rtol/maxiter: adjoint linear-solve tolerance (tighter than forward
         ksp_rtol — gradient accuracy is limited by it directly).
+      recycle: Krylov-recycling dimension k (0 = off).  The backward
+        sweep is a sequence of tightly-toleranced transposed solves whose
+        operators drift by ONE accepted step each — the textbook
+        GCRO-DR regime (solve/deflate.py) — so a k-column recycle space
+        harvested from each solve deflates the next.  (The forward
+        Newton sequence is the opposite regime: the slow coupled modes
+        are front-localized and move with every Newton update — measured
+        LOSS, BASELINE.md round-3 ledger — hence recycling defaults off
+        there and on here only by explicit request.)
 
     Returns AdjointResult with J, dJ/d(data) as a ProblemData-shaped
     pytree (tgeo/tcond/phi/wells cotangents), and dJ/du₀.
@@ -145,7 +155,7 @@ def adjoint_gradients(
         setup, apply = make_preconditioner(precond, pc_cfg)
 
         @jax.jit
-        def backward_step(u_new, u_old, dt, data, lam):
+        def backward_step(u_new, u_old, dt, data, lam, U, u_mask):
             """Solve (∂F/∂u_new)ᵀ μ = λ, return (λ_prev, ḡ) contributions."""
             st = model.assemble_stencil(u_new, u_old, dt, data)
             pc_state = setup(st.transpose())
@@ -158,13 +168,21 @@ def adjoint_gradients(
             def matvec_t(v):
                 return vjp_fn(v)[0]
 
-            res = fgmres(matvec_t, lam,
-                         precond=lambda r: apply(pc_state, r),
-                         rtol=rtol, maxiter=maxiter)
+            if recycle > 0:
+                from thermalporous_tpu.solve.deflate import fgmres_dr
+
+                res, U, u_mask = fgmres_dr(
+                    matvec_t, lam,
+                    precond=lambda r: apply(pc_state, r),
+                    U=U, u_mask=u_mask, rtol=rtol, maxiter=maxiter)
+            else:
+                res = fgmres(matvec_t, lam,
+                             precond=lambda r: apply(pc_state, r),
+                             rtol=rtol, maxiter=maxiter)
             mu = res.x
             _, w_old, w_data = vjp_fn(mu)
             return (-w_old, jax.tree.map(jnp.negative, w_data),
-                    res.iters, res.converged)
+                    res.iters, res.converged, U, u_mask)
 
         return backward_step
 
@@ -172,20 +190,24 @@ def adjoint_gradients(
     terminal_vjps = _cached(model, ("term", terminal), build_terminal)
     running_vjps = _cached(model, ("run", running), build_running)
     backward_step = _cached(
-        model, ("bwd", precond, pc_key, float(rtol), int(maxiter)),
+        model, ("bwd", precond, pc_key, float(rtol), int(maxiter),
+                int(recycle)),
         build_backward)
 
     u_n = states[n]
     value, lam, grad_data = terminal_vjps(u_n, data)
     total_ksp, all_conv = 0, True
+    from thermalporous_tpu.solve.deflate import empty_recycle
+
+    U, u_mask = empty_recycle(u_n.shape, max(recycle, 1), u_n.dtype)
     for k in range(n, 0, -1):
         dt_k = jnp.asarray(dts[k - 1], dtype=states[k].dtype)
         rval, rlam, rgd = running_vjps(states[k], dt_k, data)
         value = value + rval
         lam = lam + rlam
         grad_data = jax.tree.map(jnp.add, grad_data, rgd)
-        lam_prev, gd, iters, conv = backward_step(
-            states[k], states[k - 1], dt_k, data, lam)
+        lam_prev, gd, iters, conv, U, u_mask = backward_step(
+            states[k], states[k - 1], dt_k, data, lam, U, u_mask)
         grad_data = jax.tree.map(jnp.add, grad_data, gd)
         lam = lam_prev
         # one host fetch per step (axon: every scalar fetch is a round
