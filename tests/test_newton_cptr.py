@@ -234,6 +234,43 @@ def test_blocked_partial_final_step_no_overshoot():
     np.testing.assert_array_equal(np.asarray(res[1].u), np.asarray(res[4].u))
 
 
+def test_fail_memory_reduces_retries_host_and_blocked():
+    """TimeConfig.fail_frac: a failed attempt caps Δt regrowth below the
+    failure, so the controller stops bouncing against a Δt wall (fewer
+    retries, no lost simulated time); host and blocked loops implement
+    the identical policy (bit-exact trajectories)."""
+    from thermalporous_tpu.solve import TimeConfig
+
+    model, data = _tp_case(n=8)
+    ncfg = NewtonConfig(max_iters=5, ksp_maxiter=30, rtol=1e-8,
+                        ksp_rtol=1e-6)
+    t_end = 6.0e5
+    runs = {}
+    for tag, kw, bs in (("off", {}, 1),
+                        ("on", dict(fail_frac=0.9, fail_relax=1.3), 1),
+                        ("on-blk", dict(fail_frac=0.9, fail_relax=1.3), 4)):
+        tc = TimeConfig(dt_init=1800.0, growth=3.0, block_steps=bs, **kw)
+        sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg,
+                        time_cfg=tc)
+        runs[tag] = sim.run(t_end=t_end)
+
+    off, on, blk = runs["off"], runs["on"], runs["on-blk"]
+    assert all(abs(r.t - t_end) < 1e-6 * t_end for r in runs.values())
+    r_off = sum(r.retries for r in off.records)
+    r_on = sum(r.retries for r in on.records)
+    assert r_on < r_off          # the wall is remembered, not re-hit
+    assert on.total_newton <= off.total_newton
+    # host ≡ blocked under the feature: identical Δt policy decisions
+    # (exact), states to f64 roundoff (the cap ops change the blocked
+    # program's fusion, so bitwise equality is not guaranteed here — the
+    # default-config bit-exact contract is test_blocked_time_loop_bit_exact)
+    assert [r.dt for r in on.records] == [r.dt for r in blk.records]
+    assert on.total_newton == blk.total_newton
+    assert on.total_ksp == blk.total_ksp
+    np.testing.assert_allclose(np.asarray(on.u), np.asarray(blk.u),
+                               rtol=1e-12, atol=1e-7)
+
+
 def test_blocked_gives_up_at_dt_min_like_host():
     """When cutbacks bottom out at dt_min and still fail, the block must
     raise just as the host loop does (same give-up condition), instead of

@@ -148,25 +148,28 @@ def make_block_step_fn(
     block 'dead': subsequent steps no-op and the host raises, as the host
     loop would.  Reaching ``t_end`` likewise halts in-device.
 
-    Returns ``block(u, dt, t, t_end, data) -> (u, dt, t, dead, BlockStats)``
-    where ``dt``/``t`` are f64 scalars when x64 is live (matching the host
-    loop's Python-float Δt arithmetic bit-for-bit).
+    Returns ``block(u, dt, t, t_end, data, dt_cap) -> (u, dt, t, dead,
+    dt_cap, BlockStats)`` where ``dt``/``t``/``dt_cap`` are f64 scalars
+    when x64 is live (matching the host loop's Python-float Δt arithmetic
+    bit-for-bit); ``dt_cap`` is the failure-memory regrowth cap
+    (``TimeConfig.fail_frac``; pass/ignore +inf when disabled).
     """
     tc = time_cfg if time_cfg is not None else TimeConfig()
     advance = make_step_fn(model, precond, newton_cfg, pc_cfg, fuse=fuse)
     sdt = jnp.float64 if jax.config.x64_enabled else jnp.float32
 
-    def block(u, dt, t, t_end, data):
+    def block(u, dt, t, t_end, data, dt_cap=float("inf")):
         dt = jnp.asarray(dt, sdt)
         t = jnp.asarray(t, sdt)
         t_end = jnp.asarray(t_end, sdt)
+        dt_cap = jnp.asarray(dt_cap, sdt)
         zi = jnp.zeros((n_steps,), jnp.int32)
         zf = jnp.zeros((n_steps,), sdt)
         stats = BlockStats(newton=zi, ksp=zi, retries=zi, dt_used=zf,
                            ok=jnp.zeros((n_steps,), bool), norm0=zf, norm=zf)
 
         def step_body(i, carry):
-            u, dt, t, dead, S = carry
+            u, dt, t, dead, cap, S = carry
             past_end = t >= t_end - 1e-12 * jnp.maximum(t_end, 1.0)
             inactive = jnp.logical_or(dead, past_end)
             # clip to the remaining time exactly as the host loop does
@@ -185,7 +188,7 @@ def make_block_step_fn(
             )
 
             def attempt_cond(c):
-                a, dt_try, u_new, st, ok = c
+                a, dt_try, u_new, st, ok, _cap = c
                 # give up like the host loop: retries exhausted, OR the
                 # last attempt already failed at the dt_min floor (the
                 # host raises on `dt <= dt_min` after a failure even with
@@ -198,18 +201,25 @@ def make_block_step_fn(
                 )
 
             def attempt_body(c):
-                a, dt_try, _, _, _ = c
+                a, dt_try, _, _, _, cap_a = c
                 # first pass uses dt_eff0 EXACTLY (no dt_min floor — the
                 # host's final partial step can be below dt_min); later
                 # passes are the controller's floored halving retries
                 dt_new = jnp.where(a == 0, dt_eff0,
                                    jnp.maximum(dt_try * tc.cutback, tc.dt_min))
                 u2, s2 = advance(u, dt_new.astype(u.dtype), data)
-                return (a + 1, dt_new, u2, s2, jnp.logical_not(s2.failed))
+                if tc.fail_frac is not None:
+                    # failure memory: every failed attempt lowers the
+                    # regrowth cap (matches the host loop per attempt)
+                    cap_a = jnp.where(
+                        s2.failed,
+                        jnp.minimum(cap_a, dt_new * tc.fail_frac), cap_a)
+                return (a + 1, dt_new, u2, s2, jnp.logical_not(s2.failed),
+                        cap_a)
 
             init = (jnp.asarray(0), dt_eff0, u, dummy,
-                    jnp.asarray(False))
-            a, dt_used, u_new, st, ok = jax.lax.while_loop(
+                    jnp.asarray(False), cap)
+            a, dt_used, u_new, st, ok, cap = jax.lax.while_loop(
                 attempt_cond, attempt_body, init
             )
 
@@ -221,8 +231,14 @@ def make_block_step_fn(
             )
             grow = st.iters < tc.grow_below
             shrink = st.iters > tc.shrink_above
+            grow_lim = jnp.minimum(dt_used * tc.growth, tc.dt_max)
+            if tc.fail_frac is not None:
+                # relax the wall memory on each accepted step, then cap
+                # regrowth below the remembered failure Δt (host parity)
+                cap = jnp.where(ok, cap * tc.fail_relax, cap)
+                grow_lim = jnp.minimum(grow_lim, cap)
             dt_next = jnp.where(
-                grow, jnp.minimum(dt_used * tc.growth, tc.dt_max),
+                grow, grow_lim,
                 jnp.where(shrink,
                           jnp.maximum(dt_used * tc.cutback, tc.dt_min),
                           dt_used),
@@ -237,12 +253,13 @@ def make_block_step_fn(
                 norm0=S.norm0.at[i].set(st.norm0.astype(sdt)),
                 norm=S.norm.at[i].set(st.norm.astype(sdt)),
             )
-            return (u, dt, t, dead, S)
+            return (u, dt, t, dead, cap, S)
 
-        u, dt, t, dead, stats = jax.lax.fori_loop(
-            0, n_steps, step_body, (u, dt, t, jnp.asarray(False), stats)
+        u, dt, t, dead, dt_cap, stats = jax.lax.fori_loop(
+            0, n_steps, step_body,
+            (u, dt, t, jnp.asarray(False), dt_cap, stats)
         )
-        return u, dt, t, dead, stats
+        return u, dt, t, dead, dt_cap, stats
 
     return block
 
@@ -257,6 +274,19 @@ class TimeConfig:
     grow_below: int = 6          # grow when newton_iters < this
     shrink_above: int = 10       # shrink next Δt when newton_iters > this
     max_retries: int = 12
+    # Failure memory (the ECLIPSE TUNING-style regrowth cap; None = off).
+    # Without it the controller bounces against a Δt wall indefinitely:
+    # grow → fail → cutback-retry → grow → fail …, paying the failed
+    # attempts every other step (the measured full-SPE10 ramp behavior at
+    # dt=76.8 ks, BASELINE.md).  With it, every FAILED attempt at dt_f
+    # caps subsequent regrowth at ``fail_frac·dt_f``, and the cap relaxes
+    # by ``fail_relax`` per accepted step so a wall that moves with the
+    # physics is re-probed every few steps instead of every step.
+    # Controller-state note: the cap is part of the Δt policy state but
+    # is NOT persisted by checkpoints; a resume starts with the cap
+    # released (one extra wall probe), everything else exact.
+    fail_frac: float | None = None
+    fail_relax: float = 1.25
     # Newton initial guess: "none" = previous state (the PETSc/reference
     # default), "linear" = extrapolate u + (Δt/Δt_prev)·(u − u_prev) with
     # saturation clipped to its physical range — the converged answer is
@@ -366,12 +396,16 @@ class Simulator:
         records: list[StepRecord] = []
         run_start = time.perf_counter()
         step_idx = step0
+        dt_cap = float("inf")  # failure-memory cap, threaded across blocks
 
         while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
             blk_start = time.perf_counter()
-            u, dt_a, t_a, dead, stats = self._block(u, dt, t, t_end, self.data)
+            u, dt_a, t_a, dead, cap_a, stats = self._block(
+                u, dt, t, t_end, self.data, dt_cap)
             # ONE bulk transfer of the scalar outputs + stats arrays
-            dt, t, dead, stats = jax.device_get((dt_a, t_a, dead, stats))
+            dt, t, dead, dt_cap, stats = jax.device_get(
+                (dt_a, t_a, dead, cap_a, stats))
+            dt_cap = float(dt_cap)
             blk_wall = time.perf_counter() - blk_start
             dt, t = float(dt), float(t)
             n_ok = int(stats.ok.sum())
@@ -467,6 +501,7 @@ class Simulator:
         step_idx = step0
         u_prev = None
         dt_prev = 0.0
+        dt_cap = float("inf")  # failure-memory regrowth cap (fail_frac)
 
         while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
             dt = min(dt, tc.dt_max, t_end - t)
@@ -485,6 +520,8 @@ class Simulator:
                 failed = bool(stats.failed)
                 if not failed:
                     break
+                if tc.fail_frac is not None:
+                    dt_cap = min(dt_cap, dt * tc.fail_frac)
                 retries += 1
                 if retries > tc.max_retries or dt <= tc.dt_min:
                     raise RuntimeError(
@@ -509,8 +546,10 @@ class Simulator:
             )
             # Δt policy for the next step (applied before callbacks so
             # checkpoints capture the controller state for exact resume)
+            if tc.fail_frac is not None and dt_cap != float("inf"):
+                dt_cap *= tc.fail_relax  # relax the wall memory per accept
             if rec.newton_iters < tc.grow_below:
-                dt = min(dt * tc.growth, tc.dt_max)
+                dt = min(dt * tc.growth, tc.dt_max, dt_cap)
             elif rec.newton_iters > tc.shrink_above:
                 dt = max(dt * tc.cutback, tc.dt_min)
             rec.next_dt = dt
