@@ -231,10 +231,18 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         # nonmonotone acceptance — best time-to-solution on the doubling
         # ramp (7001x vs 6466x realtime), converges repeatedly at
         # dt=38400s where Armijo+chop always fails, and hard-step failures
-        # detect cheaply (docs/parity.md round-3 table)
-        newton_cfg=NewtonConfig(atol=3e-5, ksp_maxiter=40, max_iters=16,
-                                pc_lag="every", ds_max=0.2,
-                                ls_mode="nonmonotone"),
+        # detect cheaply (docs/parity.md round-3 table).
+        # ksp_rtol 1e-2 + bf16 Arnoldi basis (round-3 measured,
+        # tools/spe10_iters.py): the inexact-Newton forcing term (+24%
+        # t_sim/wall; Newton still gates on the TRUE residual via
+        # rtol/atol) and halved CGS2 basis streaming (+15% more) —
+        # together 17,107x vs 13,577x vs 7,001x realtime on the ramp.
+        # The bf16 basis is honest ONLY at this loose forcing term (its
+        # true-residual floor is ~4e-3 — fgmres.py docstring); revert
+        # BOTH if tightening ksp_rtol.
+        newton_cfg=NewtonConfig(atol=3e-5, ksp_rtol=1e-2, ksp_maxiter=40,
+                                max_iters=16, pc_lag="every", ds_max=0.2,
+                                ls_mode="nonmonotone", ksp_basis="bf16"),
         pc_cfg=CPRConfig(
             stage2="rbgs",
             gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,

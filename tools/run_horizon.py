@@ -1,0 +1,88 @@
+"""Controller-driven full-SPE10 horizon run: time-to-solution A/B.
+
+Unlike tools/spe10_iters.py (harness-driven Δt doubling), this drives
+``Simulator.run`` itself — the product path users run — over a fixed
+simulated horizon, so the Δt CONTROLLER's policy is what is measured.
+Primary A/B: TimeConfig.fail_frac (failure memory) on the wall-bouncing
+regime the doubling harness exposed at dt≈76.8 ks (BASELINE.md).
+
+Usage: python tools/run_horizon.py [days=4] [--cpu] [--mid] [variants...]
+Variants: base, fm (fail memory), fm-gentle (growth 1.5), base-gentle
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
+MID = "--mid" in sys.argv
+if MID:
+    sys.argv.remove("--mid")
+
+import jax.numpy as jnp
+
+
+def main():
+    from thermalporous_tpu.presets import tp_spe10_3d, tp_spe10_full
+    from thermalporous_tpu.solve import Simulator, TimeConfig
+
+    days = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
+    names = sys.argv[2:] or ["base", "fm"]
+    t_end = days * 86400.0
+
+    case = tp_spe10_3d() if MID else tp_spe10_full()
+    model, data = case.model, case.data
+    data = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, data)
+    ncells = model.grid.ncells
+
+    # production levers measured on the ramp (BASELINE.md round 3):
+    # inexact-Newton forcing term + bf16 Arnoldi basis
+    ncfg = dataclasses.replace(case.newton_cfg, ksp_rtol=1e-2,
+                               ksp_basis="bf16")
+
+    tc_common = dict(dt_init=600.0, dt_max=2 * 86400.0,
+                     grow_below=8, shrink_above=14)
+    variants = {
+        "base": dict(growth=2.0),
+        # fail_frac=0.9 measured a NO-OP here: cutback 0.5 retries succeed
+        # at half the failed dt, and one 1.25x relax releases a 0.9 cap
+        # past the failed dt again — the cap must land AT/BELOW the
+        # succeeding dt to change any decision
+        "fm": dict(growth=2.0, fail_frac=0.9, fail_relax=1.25),
+        "fm06": dict(growth=2.0, fail_frac=0.6, fail_relax=1.25),
+        "fm06s": dict(growth=2.0, fail_frac=0.6, fail_relax=1.1),
+        "fm05s": dict(growth=2.0, fail_frac=0.5, fail_relax=1.1),
+        "fm06vs": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        "base-gentle": dict(growth=1.5),
+        "fm-gentle": dict(growth=1.5, fail_frac=0.9, fail_relax=1.25),
+    }
+
+    for name in names:
+        tc = TimeConfig(**{**tc_common, **variants[name]})
+        sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg,
+                        pc_cfg=case.pc_cfg, time_cfg=tc)
+        u0 = model.initial_state(data, dtype=jnp.float32)
+        # compile + initial transient outside the timed window
+        u0, st = sim.step(u0, 300.0)
+        assert bool(jax.device_get(st).converged)
+        t0 = time.perf_counter()
+        res = sim.run(t_end=t_end, u0=u0, dt0=600.0, verbose=True)
+        wall = time.perf_counter() - t0
+        retries = sum(r.retries for r in res.records)
+        cu = ncells * res.total_newton / wall
+        print(f"=== {name}: steps={res.steps} retries={retries} "
+              f"newton={res.total_newton} ksp={res.total_ksp} "
+              f"wall={wall:.1f}s  t_sim/wall={t_end / wall:,.0f}x  "
+              f"cu/s={cu:,.0f}")
+
+
+if __name__ == "__main__":
+    main()
