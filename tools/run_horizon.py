@@ -61,6 +61,8 @@ def main():
         "fm06s": dict(growth=2.0, fail_frac=0.6, fail_relax=1.1),
         "fm05s": dict(growth=2.0, fail_frac=0.5, fail_relax=1.1),
         "fm06vs": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        "fm06vvs": dict(growth=2.0, fail_frac=0.6, fail_relax=1.02),
+        "fm07vs": dict(growth=2.0, fail_frac=0.7, fail_relax=1.05),
         "base-gentle": dict(growth=1.5),
         "fm-gentle": dict(growth=1.5, fail_frac=0.9, fail_relax=1.25),
     }
