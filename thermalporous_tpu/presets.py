@@ -221,13 +221,17 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         description="FULL SPE10-size two-phase thermal (60x220x85, 3.37M dof)",
         model=TwoPhaseModel(g, pp, s_init=0.15),
         data=data,
-        # failure memory (round-3 measured, tools/run_horizon.py on the
-        # controller-driven 8-day horizon): without it the controller
-        # bounces against the dt≈76.8 ks wall every other step (11
-        # retries, 21,378x realtime); capping regrowth at 0.6x a failed
-        # dt with a slow 1.05x/step release gives 1 retry and 35,206x
-        # realtime (+65% time-to-solution, reproducible ±1%)
-        time_cfg=TimeConfig(dt_init=300.0, dt_max=2 * 86400.0,
+        # Controller constants are the tools/run_horizon.py measured set
+        # (8-day controller-driven horizon, TPU).  Iteration bands 8/14:
+        # production hard steps run 8–14 Newton (chop+nonmonotone), so the
+        # generic 6/10 band would cut Δt right after the first wall
+        # acceptance.  Failure memory: without it the controller bounces
+        # against the dt≈76.8 ks wall every other step (11 retries,
+        # 21,378x realtime); capping regrowth at 0.6x a failed dt with a
+        # slow 1.05x/step release gives 1 retry and 35,206x realtime
+        # (+65% time-to-solution, reproducible ±1%, BASELINE.md table).
+        time_cfg=TimeConfig(dt_init=600.0, dt_max=2 * 86400.0,
+                            growth=2.0, grow_below=8, shrink_above=14,
                             fail_frac=0.6, fail_relax=1.05),
         # ksp_maxiter=40: the deg-4 adaptive preset needs ≤38.5 FGMRES per
         # Newton across the ramp, and the CGS2 sweeps stream the full
