@@ -249,6 +249,34 @@ def test_sharded_stage2_bgmg_match():
     assert len(u_out.sharding.device_set) == 8
 
 
+def test_sharded_ksp_recycle_match():
+    """Krylov recycling (solve/deflate.py): the recycle space rides the
+    Newton carry as state-shaped columns, its projections are grid-wide
+    reductions (psum under GSPMD) and the harvest eigh runs on a
+    replicated small matrix — a sharded run must match single-device
+    with identical Newton AND total FGMRES counts."""
+    model, data = _case(TwoPhaseModel, n=16, seed=3)
+    cfg = NewtonConfig(rtol=1e-8, ksp_rtol=1e-6, ksp_maxiter=80,
+                       ksp_recycle=4)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+    u0 = model.initial_state(data)
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+    assert bool(stats_ref.converged)
+
+    mesh = make_grid_mesh(8)
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      newton_cfg=cfg)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]),
+                               atol=10.0)
+    np.testing.assert_allclose(np.asarray(u_out[2]), np.asarray(u_ref[2]),
+                               atol=1e-8)
+    assert len(u_out.sharding.device_set) == 8
+
+
 def test_sharded_adjoint_matches_single_device():
     """The adjoint backward sweep (transposed stencil + vjp operator) is
     the same shift/elementwise algebra as the forward pass — sharded
