@@ -8,6 +8,15 @@ regime the doubling harness exposed at dt≈76.8 ks (BASELINE.md).
 
 Usage: python tools/run_horizon.py [days=4] [--cpu] [--mid] [variants...]
 Variants: base, fm (fail memory), fm-gentle (growth 1.5), base-gentle
+
+CAVEAT: only ONE step program is compile-warmed before the timed window.
+Variants that introduce a SECOND program (fm-blk8's jitted multi-step
+block, fm-pred's guess-taking step) pay its multi-minute axon remote
+compile INSIDE the window — their measured walls (156.7 s / 106.7 s vs
+19.8 s same-trajectory baseline, 2026-08-18) are compile artifacts, not
+steady state.  Steady-state headroom for both is bounded by the ~40 ms
+dispatch floor × ~25 steps ≈ 5%, so neither has been worth a
+warm-run harness so far.
 """
 
 from __future__ import annotations
@@ -63,6 +72,10 @@ def main():
         "fm06vs": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
         "fm06vvs": dict(growth=2.0, fail_frac=0.6, fail_relax=1.02),
         "fm07vs": dict(growth=2.0, fail_frac=0.7, fail_relax=1.05),
+        "fm-pred": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05,
+                        predictor="linear"),
+        "fm-blk8": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05,
+                        block_steps=8),
         "base-gentle": dict(growth=1.5),
         "fm-gentle": dict(growth=1.5, fail_frac=0.9, fail_relax=1.25),
     }
@@ -76,7 +89,10 @@ def main():
         u0, st = sim.step(u0, 300.0)
         assert bool(jax.device_get(st).converged)
         t0 = time.perf_counter()
-        res = sim.run(t_end=t_end, u0=u0, dt0=600.0, verbose=True)
+        # verbose prints add a host fetch per step; keep them off for the
+        # blocked variants whose whole point is dispatch amortization
+        res = sim.run(t_end=t_end, u0=u0, dt0=600.0,
+                      verbose="blk" not in name)
         wall = time.perf_counter() - t0
         retries = sum(r.retries for r in res.records)
         cu = ncells * res.total_newton / wall
