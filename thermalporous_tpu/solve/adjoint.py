@@ -155,8 +155,12 @@ def adjoint_gradients(
         setup, apply = make_preconditioner(precond, pc_cfg)
 
         @jax.jit
-        def backward_step(u_new, u_old, dt, data, lam, U, u_mask):
-            """Solve (∂F/∂u_new)ᵀ μ = λ, return (λ_prev, ḡ) contributions."""
+        def backward_step(u_new, u_old, dt, data, lam, U=None, u_mask=None):
+            """Solve (∂F/∂u_new)ᵀ μ = λ, return (λ_prev, ḡ) contributions.
+
+            With ``recycle=0`` (default) the compiled signature is the
+            5-argument original — no dummy state-sized recycle arrays ride
+            the program."""
             st = model.assemble_stencil(u_new, u_old, dt, data)
             pc_state = setup(st.transpose())
 
@@ -181,8 +185,11 @@ def adjoint_gradients(
                              rtol=rtol, maxiter=maxiter)
             mu = res.x
             _, w_old, w_data = vjp_fn(mu)
-            return (-w_old, jax.tree.map(jnp.negative, w_data),
-                    res.iters, res.converged, U, u_mask)
+            out = (-w_old, jax.tree.map(jnp.negative, w_data),
+                   res.iters, res.converged)
+            if recycle > 0:
+                out = out + (U, u_mask)
+            return out
 
         return backward_step
 
@@ -197,17 +204,22 @@ def adjoint_gradients(
     u_n = states[n]
     value, lam, grad_data = terminal_vjps(u_n, data)
     total_ksp, all_conv = 0, True
-    from thermalporous_tpu.solve.deflate import empty_recycle
+    if recycle > 0:
+        from thermalporous_tpu.solve.deflate import empty_recycle
 
-    U, u_mask = empty_recycle(u_n.shape, max(recycle, 1), u_n.dtype)
+        U, u_mask = empty_recycle(u_n.shape, recycle, u_n.dtype)
     for k in range(n, 0, -1):
         dt_k = jnp.asarray(dts[k - 1], dtype=states[k].dtype)
         rval, rlam, rgd = running_vjps(states[k], dt_k, data)
         value = value + rval
         lam = lam + rlam
         grad_data = jax.tree.map(jnp.add, grad_data, rgd)
-        lam_prev, gd, iters, conv, U, u_mask = backward_step(
-            states[k], states[k - 1], dt_k, data, lam, U, u_mask)
+        if recycle > 0:
+            lam_prev, gd, iters, conv, U, u_mask = backward_step(
+                states[k], states[k - 1], dt_k, data, lam, U, u_mask)
+        else:
+            lam_prev, gd, iters, conv = backward_step(
+                states[k], states[k - 1], dt_k, data, lam)
         grad_data = jax.tree.map(jnp.add, grad_data, gd)
         lam = lam_prev
         # one host fetch per step (axon: every scalar fetch is a round
@@ -217,6 +229,153 @@ def adjoint_gradients(
         all_conv = all_conv and bool(cv)
     return AdjointResult(value=value, grad_data=grad_data, grad_u0=lam,
                          ksp_iters=total_ksp, converged=all_conv)
+
+
+def ensemble_adjoint_gradients(
+    model,
+    data_e,
+    states_e: Sequence[jax.Array],
+    dts: Sequence[float],
+    terminal: Callable | None = None,
+    running: Callable | None = None,
+    precond: str = "cptr",
+    pc_cfg: CPRConfig | None = None,
+    rtol: float = 1e-10,
+    maxiter: int = 200,
+) -> AdjointResult:
+    """Batched backward sweep: exact gradients for E realizations at once.
+
+    The ensemble analog of :func:`adjoint_gradients`, composing with the
+    forward ensemble axis (``dist/ensemble.py``): every per-step adjoint
+    solve is ``vmap``-ped over the leading member axis — one XLA program
+    computes E independent history-matching gradients (shard the axis
+    with ``dist.shard_ensemble`` for one member per device).  This is a
+    capability the reference stack has no analog for: batched adjoints
+    of an implicit reservoir simulator in a single program.
+
+    Args:
+      data_e: :func:`dist.stack_ensemble`-stacked ProblemData (leading
+        axis E on every array leaf).
+      states_e: [u_0, …, u_N], each ``(E, nc, *grid)`` — a recorded
+        ensemble trajectory (``record_ensemble_trajectory``).
+      dts: the N accepted step sizes, SHARED across members (record the
+        trajectory with a fixed schedule; per-member adaptive schedules
+        would give members different step counts).
+      terminal/running: per-member objectives, same signatures as
+        :func:`adjoint_gradients` (they see unbatched ``(nc, *grid)``
+        states under vmap).
+
+    Returns an AdjointResult whose ``value``/``grad_*`` leaves carry the
+    leading E axis and whose ``ksp_iters`` is the vmapped solves' shared
+    iteration count total (members run in lockstep; the batched
+    while_loop masks early-converged members — the count is the max).
+
+    Constraint (as for ``make_ensemble_step_fn``): an adaptive-coarsening
+    ``pc_cfg`` needs a shared explicit ``level_factors`` schedule.
+    """
+    if terminal is None and running is None:
+        raise ValueError("need at least one of terminal/running objective")
+    if pc_cfg is not None and pc_cfg.gmg.coarsen == "adaptive" and (
+        pc_cfg.gmg.level_factors is None
+    ):
+        raise ValueError(
+            "ensemble adjoints need a shared multigrid schedule: plan "
+            "level_factors from a representative member (plan_coarsening) "
+            "or use geometric coarsening"
+        )
+    n = len(dts)
+    if len(states_e) != n + 1:
+        raise ValueError(f"states ({len(states_e)}) must be dts+1 ({n + 1})")
+
+    def build_terminal():
+        def one(u_n, data):
+            if terminal is None:
+                z = jnp.zeros((), dtype=u_n.dtype)
+                return z, jnp.zeros_like(u_n), _zeros_like_tree(data)
+            val, vjp = jax.vjp(terminal, u_n, data)
+            lam, gd = vjp(jnp.ones_like(val))
+            return val, lam, gd
+
+        return jax.jit(jax.vmap(one))
+
+    def build_running():
+        def one(u_k, dt, data):
+            if running is None:
+                z = jnp.zeros((), dtype=u_k.dtype)
+                return z, jnp.zeros_like(u_k), _zeros_like_tree(data)
+            val, vjp = jax.vjp(lambda u, d: running(u, dt, d), u_k, data)
+            lam, gd = vjp(jnp.ones_like(val))
+            return val, lam, gd
+
+        return jax.jit(jax.vmap(one, in_axes=(0, None, 0)))
+
+    def build_backward():
+        setup, apply = make_preconditioner(precond, pc_cfg)
+
+        def one(u_new, u_old, dt, data, lam):
+            st = model.assemble_stencil(u_new, u_old, dt, data)
+            pc_state = setup(st.transpose())
+
+            _, vjp_fn = jax.vjp(
+                lambda un, uo, d: model.residual(un, uo, dt, d),
+                u_new, u_old, data,
+            )
+
+            res = fgmres(lambda v: vjp_fn(v)[0], lam,
+                         precond=lambda r: apply(pc_state, r),
+                         rtol=rtol, maxiter=maxiter)
+            _, w_old, w_data = vjp_fn(res.x)
+            return (-w_old, jax.tree.map(jnp.negative, w_data),
+                    res.iters, res.converged)
+
+        return jax.jit(jax.vmap(one, in_axes=(0, 0, None, 0, 0)))
+
+    pc_key = repr(pc_cfg)
+    terminal_vjps = _cached(model, ("eterm", terminal), build_terminal)
+    running_vjps = _cached(model, ("erun", running), build_running)
+    backward_step = _cached(
+        model, ("ebwd", precond, pc_key, float(rtol), int(maxiter)),
+        build_backward)
+
+    u_n = states_e[n]
+    value, lam, grad_data = terminal_vjps(u_n, data_e)
+    total_ksp, all_conv = 0, True
+    for k in range(n, 0, -1):
+        dt_k = jnp.asarray(dts[k - 1], dtype=states_e[k].dtype)
+        rval, rlam, rgd = running_vjps(states_e[k], dt_k, data_e)
+        value = value + rval
+        lam = lam + rlam
+        grad_data = jax.tree.map(jnp.add, grad_data, rgd)
+        lam_prev, gd, iters, conv = backward_step(
+            states_e[k], states_e[k - 1], dt_k, data_e, lam)
+        grad_data = jax.tree.map(jnp.add, grad_data, gd)
+        lam = lam_prev
+        it, cv = jax.device_get((iters, conv))
+        total_ksp += int(it.max())
+        all_conv = all_conv and bool(cv.all())
+    return AdjointResult(value=value, grad_data=grad_data, grad_u0=lam,
+                         ksp_iters=total_ksp, converged=all_conv)
+
+
+def record_ensemble_trajectory(step_e, u0_e, dts, data_e):
+    """Run a fixed-Δt-schedule ensemble forward, recording stacked states.
+
+    ``step_e`` from :func:`dist.make_ensemble_step_fn`; every member must
+    converge at every step (fixed schedules forfeit the Δt controller —
+    pick one a controller run accepted)."""
+    E = u0_e.shape[0]
+    states = [u0_e]
+    for dt in dts:
+        dt_e = jnp.full((E,), float(dt), dtype=u0_e.dtype)
+        u, stats = step_e(states[-1], dt_e, data_e)
+        conv = jax.device_get(stats.converged)
+        if not bool(conv.all()):
+            raise RuntimeError(
+                f"ensemble forward step dt={dt}: members "
+                f"{[int(i) for i in jnp.where(~jnp.asarray(conv))[0]]} "
+                f"did not converge")
+        states.append(u)
+    return states
 
 
 def record_trajectory(sim, u0, dts):

@@ -34,6 +34,31 @@ no strided views):
 Validity is tracked per column (``u_mask``); with an all-false mask the
 solve degrades to plain FGMRES plus the harvest, so the first Newton
 iteration needs no special casing.
+
+Cost accounting: ``result.iters`` counts ARNOLDI iterations only — each
+solve additionally pays k operator matvecs in :func:`prepare_recycle`
+(plus the k-column QR and the small eigh harvest), so iteration counts
+with recycling on are NOT the same unit as plain-FGMRES counts; wall
+time is the comparable metric (the BASELINE.md A/Bs report both).
+
+Precision note: the deflation projections run in the compute dtype (no
+f64 accumulation — C is orthonormal so one pass leaves O(eps) residue),
+matching fgmres.py's batched-orthogonalization policy; the f64-
+accumulated scalars (norms, Givens inputs) ride the shared ``_norm``.
+
+Axon note: with ``ksp_recycle>0`` the small ``jnp.linalg.eigh`` runs
+inside the Newton ``lax.while_loop`` — a new exotic-op-in-loop pattern
+on a backend with a documented in-loop-at-scale miscompile history
+(CLAUDE.md).  The measured full-SPE10 same-system artifact (TPU 112 vs
+CPU 84 iterations, BASELINE.md) means any axon use at ~1M-cell scale
+needs a CPU-parity check first; production keeps recycling off.
+
+The Arnoldi body mirrors :func:`fgmres.fgmres` deliberately rather than
+sharing a parameterized helper: the plain solver is the measured-stable
+production hot path on a backend where program-shape changes have
+caused miscompiles, so it stays untouched.  ANY fix to fgmres.py's loop
+body (orthogonalization, breakdown, Givens, back-substitution) must be
+mirrored here — grep for "MIRROR:" in both files.
 """
 
 from __future__ import annotations
@@ -41,7 +66,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from thermalporous_tpu.solve.fgmres import FGMRESResult, _dot, _norm
+from thermalporous_tpu.solve.fgmres import FGMRESResult, _norm
 
 
 def empty_recycle(shape, k: int, dtype) -> tuple[jax.Array, jax.Array]:
@@ -173,6 +198,8 @@ def fgmres_dr(
         j, V, Z, H, B, cs, sn, g, res, done = carry
         return jnp.logical_and(j < m, jnp.logical_not(done))
 
+    # MIRROR: the Arnoldi body below tracks fgmres.fgmres's loop body
+    # (see module docstring); keep any fix to either in sync.
     def body(carry):
         j, V, Z, H, B, cs, sn, g, res, done = carry
         z = precond(V[j].astype(dtype))

@@ -162,6 +162,9 @@ def fgmres(
 
     axes = tuple(range(1, b.ndim + 1))
 
+    # MIRROR: solve/deflate.py::fgmres_dr copies this loop body (plus a
+    # C-deflation step) — mirror any fix here into it (see its docstring
+    # for why the two are not a shared helper).
     def body(carry):
         j, V, Z, H, cs, sn, g, res, done = carry
         z = precond(V[j].astype(dtype))

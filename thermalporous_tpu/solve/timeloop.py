@@ -234,9 +234,12 @@ def make_block_step_fn(
             grow_lim = jnp.minimum(dt_used * tc.growth, tc.dt_max)
             if tc.fail_frac is not None:
                 # relax the wall memory on each accepted step, then cap
-                # regrowth below the remembered failure Δt (host parity)
+                # regrowth below the remembered failure Δt (host parity);
+                # dt_min floor as in the host loop — the cap from a
+                # failure just above dt_min must not push dt below it
                 cap = jnp.where(ok, cap * tc.fail_relax, cap)
-                grow_lim = jnp.minimum(grow_lim, cap)
+                grow_lim = jnp.maximum(jnp.minimum(grow_lim, cap),
+                                       tc.dt_min)
             dt_next = jnp.where(
                 grow, grow_lim,
                 jnp.where(shrink,
@@ -549,7 +552,11 @@ class Simulator:
             if tc.fail_frac is not None and dt_cap != float("inf"):
                 dt_cap *= tc.fail_relax  # relax the wall memory per accept
             if rec.newton_iters < tc.grow_below:
-                dt = min(dt * tc.growth, tc.dt_max, dt_cap)
+                # dt_min floor: a failure just above dt_min can push the
+                # cap below the floor; without the max() the next step
+                # would run below dt_min and a failure there aborts with
+                # zero retries (the dt <= dt_min guard)
+                dt = max(min(dt * tc.growth, tc.dt_max, dt_cap), tc.dt_min)
             elif rec.newton_iters > tc.shrink_above:
                 dt = max(dt * tc.cutback, tc.dt_min)
             rec.next_dt = dt

@@ -14,6 +14,11 @@ runs the Newton-sequence experiment explicitly:
      Newton-style solves, total iterations plain vs recycled.
 
 Usage: python tools/diag_recycle.py [dt_seconds=76800] [--cpu] [--mid] [k=8]
+
+NOTE on units: printed iters are ARNOLDI iterations; every recycled
+solve additionally pays k prepare_recycle matvecs + the QR/eigh harvest
+(deflate.py docstring), so "recycled iters < plain iters" understates
+recycled cost by ~k matvecs.  Wall A/Bs are the decisive metric.
 """
 
 from __future__ import annotations

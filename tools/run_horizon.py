@@ -43,7 +43,8 @@ def main():
     from thermalporous_tpu.solve import Simulator, TimeConfig
 
     days = float(sys.argv[1]) if len(sys.argv) > 1 else 4.0
-    names = sys.argv[2:] or ["base", "fm"]
+    names = sys.argv[2:] or ["base", "fm06vs"]  # fm06vs = the measured
+    # production constants; plain "fm" (0.9/1.25) is the documented no-op
     t_end = days * 86400.0
 
     case = tp_spe10_3d() if MID else tp_spe10_full()
