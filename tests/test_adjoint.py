@@ -181,3 +181,50 @@ def test_adjoint_grad_u0_matches_fd():
     eps = 1e-4
     want = (run_J(u0 + eps * du) - run_J(u0 - eps * du)) / (2.0 * eps)
     assert abs(got - want) <= 2e-4 * max(abs(want), 1e-12), (got, want)
+
+
+def test_ensemble_adjoint_matches_per_member():
+    """ensemble_adjoint_gradients ≡ per-member adjoint_gradients: the
+    vmapped batched sweep computes exactly the gradients each member's
+    solo sweep computes (one XLA program for E history-matching
+    gradients — the dist/ensemble.py DP axis, adjoint side)."""
+    from thermalporous_tpu.dist import stack_ensemble, make_ensemble_step_fn
+    from thermalporous_tpu.solve import (
+        NewtonConfig,
+        Simulator,
+        ensemble_adjoint_gradients,
+        record_ensemble_trajectory,
+    )
+
+    members = [_case(TwoPhaseModel, shape=(8, 6), seed=s) for s in (1, 2, 3)]
+    model = members[0][0]
+    datas = [d for _, d in members]
+    data_e = stack_ensemble(datas)
+    dts = [1800.0, 2700.0]
+    ncfg = NewtonConfig(rtol=1e-12, ksp_rtol=1e-10, ksp_maxiter=120)
+
+    def terminal(u, d):
+        return jnp.mean(u[1, :4, :3])
+
+    step_e = jax.jit(make_ensemble_step_fn(model, "cptr", ncfg))
+    u0_e = jnp.stack([model.initial_state(d) for d in datas])
+    states_e = record_ensemble_trajectory(step_e, u0_e, dts, data_e)
+    res_e = ensemble_adjoint_gradients(model, data_e, states_e, dts,
+                                       terminal=terminal, rtol=1e-11,
+                                       maxiter=300)
+    assert res_e.converged
+    assert res_e.grad_u0.shape[0] == 3
+
+    for i, data in enumerate(datas):
+        sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg)
+        states = record_trajectory(sim, model.initial_state(data), dts)
+        res = adjoint_gradients(model, data, states, dts, terminal=terminal,
+                                rtol=1e-11, maxiter=300)
+        np.testing.assert_allclose(float(res_e.value[i]), float(res.value),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(res_e.grad_u0[i]),
+                                   np.asarray(res.grad_u0),
+                                   rtol=1e-6, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(res_e.grad_data.phi[i]),
+                                   np.asarray(res.grad_data.phi),
+                                   rtol=1e-6, atol=1e-14)

@@ -1,6 +1,8 @@
 from thermalporous_tpu.solve.adjoint import (
     AdjointResult,
     adjoint_gradients,
+    ensemble_adjoint_gradients,
+    record_ensemble_trajectory,
     record_trajectory,
 )
 from thermalporous_tpu.solve.fgmres import FGMRESResult, fgmres
@@ -19,6 +21,8 @@ from thermalporous_tpu.solve.timeloop import (
 __all__ = [
     "AdjointResult",
     "adjoint_gradients",
+    "ensemble_adjoint_gradients",
+    "record_ensemble_trajectory",
     "record_trajectory",
     "FGMRESResult",
     "fgmres",
