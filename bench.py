@@ -74,21 +74,23 @@ def main():
     model = TwoPhaseModel(grid, pp, s_init=0.2)
     ncells = grid.ncells
 
-    # ksp_maxiter is regime-dependent (BASELINE.md round-2 A/B): a 16-cap
-    # wins 1.55x time-to-solution on gentle ×1.5 ramps (small basis = less
-    # CGS2 traffic, cheap capped failures) but CRATERS this ×2 doubling
-    # workload (5.7M vs 13.2M cu/s: doubling creates steps whose solves
-    # need the full 40-space, and cutback retries burn wall).  The artifact
-    # keeps the robust 40-cap.
+    # ksp_maxiter is regime- AND tolerance-dependent (BASELINE.md A/Bs):
+    # at ksp_rtol 1e-3 a 16-cap CRATERED this ×2 doubling workload (5.7M
+    # vs 13.2M cu/s — hard solves genuinely needed the 40-space), but the
+    # round-3 forcing term changed that calculus: at rtol 1e-2 the typical
+    # solve needs ~4-15 directions while CGS2 still streams the full
+    # STATIC cap's basis slots every iteration, so cap 24 cuts the #1
+    # roofline term and is a confirmed +15-17% cu/s at an identical
+    # accepted trajectory (interleaved repeat runs, tools/ab_step.py).
     # Round-3 forcing-term + basis-precision levers (tools/ab_step.py,
     # identical accepted trajectory, Newton counts unchanged): ksp_rtol
     # 1e-2 — the classic inexact-Newton forcing term; Newton convergence
     # still gates on the TRUE residual (rtol/atol below) — is +24%
-    # time-to-solution on this workload, and bf16 Arnoldi-basis storage
+    # time-to-solution on this workload, bf16 Arnoldi-basis storage
     # (honest at this tolerance: its true-residual floor is ~4e-3) adds
-    # +15% more by halving the dominant CGS2 streaming traffic:
-    # 13.4M -> 18.7M cell-updates/s.
-    cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-2, ksp_maxiter=40,
+    # +15% more by halving the dominant CGS2 streaming traffic, and the
+    # 24-cap stacks +15% on top: 13.4M -> 18.7M -> 21.5M cell-updates/s.
+    cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-2, ksp_maxiter=24,
                        max_iters=14, pc_lag="every", krylov_op="stencil",
                        ksp_basis="bf16")
     # degree-4 Chebyshev smoothing: measured 47% better time-to-solution on

@@ -100,6 +100,21 @@ VARIANTS = {
     "stencil-every-deg4-bf16-ksp2": (
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2), dict(degree=4), False),
+    # Krylov cap under the v3 levers: at ksp_rtol 1e-2 the typical solve
+    # needs ~4-15 iterations, yet CGS2 streams the full static cap's basis
+    # slots every iteration — a smaller cap cuts the #1 roofline term
+    # proportionally.  (The round-2 "cap 16 craters the doubling workload"
+    # verdict was measured at rtol 1e-3, where hard solves need the full
+    # 40-space; the forcing term changed that calculus.)
+    "stencil-every-deg4-bf16-ksp2-m24": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24), dict(degree=4), False),
+    "stencil-every-deg4-bf16-ksp2-m16": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=16), dict(degree=4), False),
+    "stencil-every-deg4-bf16-ksp2-m32": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=32), dict(degree=4), False),
     # single-pass CGS (PETSc's KSPGMRES default): halves the remaining
     # basis-streaming traffic on top of bf16 storage (roofline follow-up)
     "stencil-every-deg4-bf16-ksp2-cgs1": (

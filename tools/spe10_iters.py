@@ -100,6 +100,16 @@ def main():
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
             dict(coarsen="adaptive", degree=4)),
+        # Krylov cap 24 on the production levers: at ksp_rtol 1e-2 the
+        # ramp averages ~12.6 FGMRES/Newton, yet CGS2 streams the full
+        # static cap's basis slots every iteration — the bench-workload
+        # A/B (ab_step.py) measured cap-24 +18% cu/s, same trajectory.
+        # Hard steps that genuinely need >24 directions fail FASTER and
+        # cheaper (inexact-Newton fallback + failure-memory controller).
+        "every-adapt-rbgs-deg4-m24-ds02-nm-ksp2-bf16": (
+            dict(pc_lag="every", ksp_maxiter=24, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
+            dict(coarsen="adaptive", degree=4)),
         # + operator-weighted prolongation (wide coarse stencils)
         "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-wp": (
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
