@@ -233,11 +233,18 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         time_cfg=TimeConfig(dt_init=600.0, dt_max=2 * 86400.0,
                             growth=2.0, grow_below=8, shrink_above=14,
                             fail_frac=0.6, fail_relax=1.05),
-        # ksp_maxiter=40: the deg-4 adaptive preset needs ≤38.5 FGMRES per
-        # Newton across the ramp, and the CGS2 sweeps stream the full
-        # static basis — cap 40 vs 60 measured +19% sustained throughput
-        # on the same trajectory; cap 48 re-measured round 3 with the chop:
-        # same trajectory, -10% t_sim/wall (tools/spe10_iters.py).
+        # ksp_maxiter=24: CGS2 streams the full STATIC cap's basis slots
+        # every iteration, so the cap is a first-order traffic knob.  At
+        # ksp_rtol 1e-3 the preset needed ≤38.5 FGMRES/Newton (cap 40; 48
+        # measured -10%, 60 -19%) — but the round-3 forcing term (1e-2)
+        # dropped typical solves to 4-22 directions and re-opened the
+        # question: cap 24 measured +16% t_sim/wall on the doubling ramp
+        # (hard steps that genuinely need more directions fail FASTER and
+        # cheaper, feeding the failure-memory controller) and +10% on the
+        # controller-driven 8-day horizon (38,790x vs 35,251x realtime,
+        # near-identical trajectory — there the controller keeps dt below
+        # the wall and the win is pure basis streaming).  Revert to 40 if
+        # tightening ksp_rtol.
         # ds_max + nonmonotone (round-3 measured): Appleyard chop with
         # nonmonotone acceptance — best time-to-solution on the doubling
         # ramp (7001x vs 6466x realtime), converges repeatedly at
@@ -251,7 +258,7 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         # The bf16 basis is honest ONLY at this loose forcing term (its
         # true-residual floor is ~4e-3 — fgmres.py docstring); revert
         # BOTH if tightening ksp_rtol.
-        newton_cfg=NewtonConfig(atol=3e-5, ksp_rtol=1e-2, ksp_maxiter=40,
+        newton_cfg=NewtonConfig(atol=3e-5, ksp_rtol=1e-2, ksp_maxiter=24,
                                 max_iters=16, pc_lag="every", ds_max=0.2,
                                 ls_mode="nonmonotone", ksp_basis="bf16"),
         pc_cfg=CPRConfig(
