@@ -203,3 +203,48 @@ def test_fgmres_cgs1_converges_at_loose_tolerance(rng):
         r = np.linalg.norm(an @ np.asarray(got.x, np.float64)
                            - np.asarray(b))
         assert r <= 2e-2 * bn, (bd, r)
+
+
+def test_fgmres_selective_reorth_matches_cgs2(rng):
+    """Selective reorthogonalization (orth_selective=True, Rutishauser's
+    cancellation criterion): converges wherever CGS2 does — the second
+    pass is skipped only on iterations whose first pass kept most of the
+    vector — and the TRUE residual still meets the tolerance, with f32
+    and bf16 bases, on a TIGHT tolerance (where cgs1 is not honest)."""
+    import numpy as np
+
+    a, x_true, b = _random_system(rng, n=60, cond_shift=4.0)
+    an = np.asarray(a)
+    d = jnp.asarray(1.0 / np.diag(an))
+    pc = lambda r: d * r
+    mv = lambda v: a @ v
+    bn = np.linalg.norm(np.asarray(b))
+
+    ref = fgmres(mv, b, precond=pc, rtol=1e-10, maxiter=60)
+    got = fgmres(mv, b, precond=pc, rtol=1e-10, maxiter=60,
+                 orth_selective=True)
+    assert bool(got.converged)
+    assert int(got.iters) <= int(ref.iters) + 3
+    r = np.linalg.norm(an @ np.asarray(got.x, np.float64) - np.asarray(b))
+    assert r <= 1e-8 * bn, r
+
+    # bf16 basis at its honest (loose) tolerance
+    got16 = fgmres(mv, b, precond=pc, rtol=1e-3, maxiter=60,
+                   basis_dtype=jnp.bfloat16, orth_selective=True)
+    assert bool(got16.converged)
+    r16 = np.linalg.norm(an @ np.asarray(got16.x, np.float64)
+                         - np.asarray(b))
+    assert r16 <= 2e-2 * bn, r16
+
+
+def test_fgmres_selective_reorth_restarted(rng):
+    """orth_selective threads through the FGMRES(r) restart driver."""
+    import numpy as np
+
+    a, x_true, b = _random_system(rng, n=60, cond_shift=4.0)
+    got = fgmres(lambda v: a @ v, b, rtol=1e-10, maxiter=60, restart=16,
+                 orth_selective=True)
+    assert bool(got.converged)
+    r = np.linalg.norm(np.asarray(a) @ np.asarray(got.x, np.float64)
+                       - np.asarray(b))
+    assert r <= 1e-8 * np.linalg.norm(np.asarray(b))

@@ -71,6 +71,7 @@ def fgmres(
     iter_cap: jax.Array | None = None,
     basis_dtype=None,
     orth_passes: int = 2,
+    orth_selective: bool = False,
 ) -> FGMRESResult:
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -114,6 +115,17 @@ def fgmres(
         basis streaming traffic at the cost of O(eps·κ) orthogonality
         drift; honest in the loose-tolerance inexact-Newton regime where
         Newton gates on the TRUE residual (see NewtonConfig.ksp_orth).
+      orth_selective: with ``orth_passes=2``, take the second CGS pass
+        only when the first one cancelled most of the vector —
+        Rutishauser's criterion ``‖w₁‖ < η·‖w_pre‖`` with η = 1/√2 and
+        ``‖w_pre‖² = ‖h‖² + ‖w₁‖²`` (Pythagoras on the orthonormal basis,
+        so the test costs no extra array reduction).  Iterations with
+        benign cancellation skip half the dominant basis-streaming
+        traffic via a ``lax.cond`` (one branch executes on TPU);
+        iterations with real cancellation — exactly where CGS1 loses
+        orthogonality — still reorthogonalize.  NOTE: under ``vmap``
+        (the ensemble axis) ``cond`` lowers to ``select`` and both
+        branches execute — correct, but the traffic saving vanishes.
     """
     if precond is None:
         precond = lambda r: r
@@ -122,6 +134,7 @@ def fgmres(
         return _fgmres_restarted(
             matvec, b, precond, x0, rtol, atol, int(maxiter), int(restart),
             basis_dtype=basis_dtype, orth_passes=orth_passes,
+            orth_selective=orth_selective,
         )
 
     m = int(maxiter)
@@ -203,11 +216,30 @@ def fgmres(
             return w - jnp.tensordot(h, V, axes=(0, 0)), h
 
         w, h = orth(w)
-        if orth_passes >= 2:
-            w, h2 = orth(w)
+        if orth_passes >= 2 and orth_selective:
+            h1n = _norm(w)
+            # ‖w_pre‖² = ‖h‖² + ‖w₁‖² (orthonormal V); reorthogonalize
+            # only when pass 1 cancelled more than (1 - 1/√2) of w_pre —
+            # the classical selective-reorthogonalization test, evaluated
+            # from scalars already in hand
+            hh = jnp.sum((h * h).astype(reduce_dtype(dtype))).astype(dtype)
+            need = h1n * h1n < 0.5 * (hh + h1n * h1n)
+
+            def _reorth(w):
+                w2, h2 = orth(w)
+                return w2, h2, _norm(w2)
+
+            def _skip(w):
+                return w, jnp.zeros_like(h), h1n
+
+            w, h2, h_next = jax.lax.cond(need, _reorth, _skip, w)
             h = h + h2
+        else:
+            if orth_passes >= 2:
+                w, h2 = orth(w)
+                h = h + h2
+            h_next = _norm(w)
         H = H.at[:, j].set(h)
-        h_next = _norm(w)
         breakdown = h_next <= 1e-300
         V = V.at[j + 1].set(
             jnp.where(breakdown, 0.0,
@@ -269,7 +301,7 @@ def fgmres(
 
 def _fgmres_restarted(
     matvec, b, precond, x0, rtol, atol, maxiter: int, r: int,
-    basis_dtype=None, orth_passes: int = 2,
+    basis_dtype=None, orth_passes: int = 2, orth_selective: bool = False,
 ) -> FGMRESResult:
     """FGMRES(r) restart cycles up to ``maxiter`` total iterations.
 
@@ -297,6 +329,7 @@ def _fgmres_restarted(
             matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol,
             maxiter=r, iter_cap=jnp.minimum(r, maxiter - tot),
             basis_dtype=basis_dtype, orth_passes=orth_passes,
+            orth_selective=orth_selective,
         )
         tot = tot + out.iters
         stop = jnp.logical_or(

@@ -47,11 +47,12 @@ class NewtonConfig:
     # flexible basis Z and the solution stay full precision.
     ksp_basis: str = "same"
     # Gram–Schmidt passes: "cgs2" (default — one reorthogonalization,
-    # MGS-grade stability) or "cgs1" (PETSc's KSPGMRES default: single
-    # classical pass, no refinement).  cgs1 halves the dominant basis
-    # streaming traffic; orthogonality degrades to O(eps·κ(basis)), which
-    # the inexact-Newton regime (loose ksp_rtol, true-residual Newton
-    # gate) can absorb — a measured lever, see BASELINE.md.
+    # MGS-grade stability), "cgs1" (PETSc's KSPGMRES default: single
+    # classical pass, no refinement — measured LOSER end-to-end, it
+    # collapses trajectories exactly on the hard steps, BASELINE.md), or
+    # "cgs2s" (selective: the second pass runs only when Rutishauser's
+    # cancellation criterion fires — CGS2 stability where it matters,
+    # CGS1 traffic where it doesn't; see fgmres.orth_selective).
     ksp_orth: str = "cgs2"
     # Krylov-subspace recycling dimension (0 = off).  k > 0 carries a
     # k-column recycle space across the Newton iterations of a solve
@@ -237,6 +238,8 @@ def newton_solve(
                 atol=cfg.ksp_atol,
                 maxiter=cfg.ksp_maxiter,
                 basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
+                # the deflated solver does not implement the selective
+                # second pass; "cgs2s" safely degrades to plain CGS2 here
                 orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
             )
         else:
@@ -250,6 +253,7 @@ def newton_solve(
                 restart=cfg.ksp_restart,
                 basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
                 orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
+                orth_selective=cfg.ksp_orth == "cgs2s",
             )
         dx = result.x
         if chop is not None:

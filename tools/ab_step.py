@@ -115,6 +115,18 @@ VARIANTS = {
     "stencil-every-deg4-bf16-ksp2-m32": (
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2, ksp_maxiter=32), dict(degree=4), False),
+    # selective reorthogonalization (Rutishauser criterion): CGS2's second
+    # pass only on cancellation-heavy iterations — the principled middle
+    # between cgs2 (measured baseline) and cgs1 (measured trajectory
+    # collapse); at cap 24 the skipped pass is ~2/4 of the basis traffic
+    "stencil-every-deg4-bf16-ksp2-m24-cgs2s": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2s"),
+        dict(degree=4), False),
+    "stencil-every-deg4-ksp2-m24-cgs2s": (
+        dict(krylov_op="stencil", pc_lag="every",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2s"),
+        dict(degree=4), False),
     # single-pass CGS (PETSc's KSPGMRES default): halves the remaining
     # basis-streaming traffic on top of bf16 storage (roofline follow-up)
     "stencil-every-deg4-bf16-ksp2-cgs1": (
