@@ -86,7 +86,10 @@ def sp_spe10_layer_2d(layer: int = 0, seed: int = 2020) -> Case:
         model=SinglePhaseModel(g, pp),
         data=data,
         time_cfg=TimeConfig(dt_init=600.0, dt_max=10 * 86400.0),
-        newton_cfg=NewtonConfig(ksp_maxiter=100),
+        # cap 32: the layer case solves in 6-12 FGMRES/Newton at the
+        # PETSc-default ksp_rtol; CGS2 streams the full STATIC cap's basis
+        # slots every iteration, so unused slots are pure HBM traffic
+        newton_cfg=NewtonConfig(ksp_maxiter=32),
         t_end=60 * 86400.0,
     )
 
@@ -121,7 +124,9 @@ def sp_geothermal_3d(nx: int = 64, ny: int = 64, nz: int = 32) -> Case:
         model=SinglePhaseModel(g, pp),
         data=data,
         time_cfg=TimeConfig(dt_init=3600.0, dt_max=30 * 86400.0),
-        newton_cfg=NewtonConfig(ksp_maxiter=80),
+        # cap 32 (was 80): measured 7.3 FGMRES/Newton — see the cap note
+        # in sp_spe10_layer_2d
+        newton_cfg=NewtonConfig(ksp_maxiter=32),
         t_end=365 * 86400.0,
     )
 
@@ -144,7 +149,9 @@ def tp_thermal_2d(n: int = 60) -> Case:
         model=TwoPhaseModel(g, pp, s_init=0.2),
         data=data,
         time_cfg=TimeConfig(dt_init=600.0, dt_max=5 * 86400.0),
-        newton_cfg=NewtonConfig(ksp_maxiter=80),
+        # cap 32 (was 80): measured 5.9 FGMRES/Newton — see the cap note
+        # in sp_spe10_layer_2d
+        newton_cfg=NewtonConfig(ksp_maxiter=32),
         t_end=90 * 86400.0,
     )
 
@@ -175,7 +182,10 @@ def tp_spe10_3d(nx: int = 60, ny: int = 110, nz: int = 16, seed: int = 2020) -> 
         model=TwoPhaseModel(g, pp, s_init=0.15),
         data=data,
         time_cfg=TimeConfig(dt_init=300.0, dt_max=2 * 86400.0),
-        newton_cfg=NewtonConfig(ksp_maxiter=100, max_iters=20),
+        # cap 32 (was 100): measured 14.0 FGMRES/Newton average; at cap
+        # 100 the unused basis slots were ~40% of the whole step's HBM
+        # traffic (roofline byte model, BASELINE.md)
+        newton_cfg=NewtonConfig(ksp_maxiter=32, max_iters=20),
         t_end=30 * 86400.0,
     )
 
