@@ -127,6 +127,10 @@ VARIANTS = {
         dict(krylov_op="stencil", pc_lag="every",
              ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2s"),
         dict(degree=4), False),
+    "stencil-every-deg4-ksp2-m24": (
+        dict(krylov_op="stencil", pc_lag="every",
+             ksp_rtol=1e-2, ksp_maxiter=24),
+        dict(degree=4), False),
     # single-pass CGS (PETSc's KSPGMRES default): halves the remaining
     # basis-streaming traffic on top of bf16 storage (roofline follow-up)
     "stencil-every-deg4-bf16-ksp2-cgs1": (
