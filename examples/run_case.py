@@ -138,16 +138,22 @@ def main():
         writer = PVDWriter(args.vtk, case.name, case.model.grid)
         u0 = case.model.initial_state(case.data)
         writer.write(0.0, state_fields(case.model, u0))
-        callbacks.append(
-            # rec.state_consistent: block-mode intermediate records carry a
-            # later state than their clock — write only consistent pairs
-            lambda step, t, u, rec: (
-                writer.write(t, state_fields(case.model, u))
-                if step % args.vtk_every == 0
-                and getattr(rec, "state_consistent", True)
-                else None
-            )
-        )
+        # rec.state_consistent: block-mode intermediate records carry a
+        # later state than their clock — write only consistent pairs.
+        # Cadence is "vtk_every steps elapsed since the last frame", not
+        # step % vtk_every: block-final step numbers shift with retries,
+        # so a modulus test could skip every consistent record.
+        vtk_last = [0]
+
+        def vtk_cb(step, t, u, rec):
+            if not getattr(rec, "state_consistent", True):
+                return
+            if step - vtk_last[0] < args.vtk_every:
+                return
+            vtk_last[0] = step
+            writer.write(t, state_fields(case.model, u))
+
+        callbacks.append(vtk_cb)
     if args.metrics:
         callbacks.append(MetricsLogger(args.metrics, ncells=case.model.grid.ncells,
                                        extra={"case": case.name}))

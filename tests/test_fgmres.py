@@ -146,6 +146,21 @@ def test_fgmres_restarted_respects_maxiter_budget(rng):
     # ... and an exactly-divisible budget still runs all cycles
     out2 = fgmres(mv, b, rtol=1e-14, maxiter=32, restart=16)
     assert int(out2.iters) <= 32
+    # plain budget exhaustion is NOT an Arnoldi breakdown — the flag must
+    # match the single-cycle path's diagnosis (advisor r3)
+    assert not bool(out.breakdown)
+    assert not bool(out.converged)
+
+
+def test_fgmres_iter_cap_with_restart_rejected(rng):
+    """iter_cap is internal to the restart driver; silently dropping a
+    caller's cap would uncap the solve, so the combination errors."""
+    import pytest
+
+    a, _, b = _random_system(rng)
+    with pytest.raises(ValueError, match="iter_cap"):
+        fgmres(lambda v: a @ v, b, maxiter=40, restart=16,
+               iter_cap=jnp.asarray(8))
 
 def test_fgmres_bf16_basis_solves_to_its_floor(rng):
     """bf16 Arnoldi-basis storage (the bandwidth lever): the achievable

@@ -220,3 +220,26 @@ def test_block_mode_checkpoints_are_state_consistent(tmp_path):
     assert cont.t == pytest.approx(ref.t, rel=1e-12)
     np.testing.assert_allclose(np.asarray(cont.u), np.asarray(ref.u),
                                rtol=0, atol=1e-9)
+
+
+def test_checkpoint_cadence_survives_block_final_step_drift(tmp_path):
+    """Block mode exposes only block-final records (state_consistent), and
+    retries shift their step numbers off any fixed modulus — e.g. finals at
+    3, 7, 11 with every=4 match step % 4 == 0 NEVER.  The manager's cadence
+    is 'every steps elapsed since the last snapshot', so it must still
+    write (advisor r3)."""
+    import dataclasses
+
+    from thermalporous_tpu.solve import StepRecord
+
+    mgr = CheckpointManager(str(tmp_path), every=4, keep=100)
+    u = jnp.zeros((2, 3, 3))
+    for step in range(1, 13):
+        rec = StepRecord(step=step, t=step * 1.0, dt=1.0, newton_iters=1,
+                         ksp_iters=1, retries=0, residual_norm0=1.0,
+                         residual_norm=0.0, wall_s=0.1)
+        rec.state_consistent = step in (3, 7, 11)
+        mgr(step, step * 1.0, u, rec)
+    files = sorted(os.listdir(tmp_path))
+    # first consistent record past each 4-step cadence point: 7 (>=4), 11 (>=7+4)
+    assert files == ["ckpt_0000007.npz", "ckpt_0000011.npz"]

@@ -287,3 +287,14 @@ def test_blocked_gives_up_at_dt_min_like_host():
         )
         with pytest.raises(RuntimeError):
             sim.run(t_end=2.0e9, max_steps=10)
+
+
+def test_newton_config_rejects_unknown_string_options():
+    """Typo'd string options must fail loudly at construction, not silently
+    degrade to the default code path (e.g. ksp_basis="bfloat16" silently
+    measuring the full-precision basis)."""
+    for field, bad in [("ksp_basis", "bfloat16"), ("ksp_orth", "mgs"),
+                       ("ls_mode", "wolfe"), ("pc_lag", "never"),
+                       ("krylov_op", "dense")]:
+        with pytest.raises(ValueError, match=field):
+            NewtonConfig(**{field: bad})

@@ -55,20 +55,30 @@ class CheckpointManager:
         self._written: list[str] = sorted(
             glob.glob(os.path.join(directory, f"{name}_*.npz"))
         )
+        self._last_step = (
+            int(self._written[-1].rsplit("_", 1)[1].split(".")[0])
+            if self._written else 0
+        )
 
     def __call__(self, step: int, t: float, u, record):
-        if step % self.every:
-            return
         # intermediate records of a jitted multi-step block pair a LATER
         # state with this record's clock — checkpointing them would break
-        # exact resume, so only state-consistent records are snapshotted
+        # exact resume, so only state-consistent records are snapshotted.
+        # The cadence is "every `every` steps have elapsed since the last
+        # snapshot", NOT step % every == 0: in block mode only block-FINAL
+        # steps are consistent and retries shift their step numbers, so a
+        # modulus test could miss every consistent record and silently
+        # write nothing for the whole run.
         if not getattr(record, "state_consistent", True):
+            return
+        if step - self._last_step < self.every:
             return
         path = os.path.join(self.directory, f"{self.name}_{step:07d}.npz")
         # saving the controller's NEXT dt makes a resumed run continue the
         # uninterrupted trajectory exactly
         dt = record.next_dt or record.dt
         save_checkpoint(path, u, t, dt, step)
+        self._last_step = step
         self._written.append(path)
         while len(self._written) > self.keep:
             old = self._written.pop(0)

@@ -48,7 +48,6 @@ import jax.numpy as jnp
 
 from thermalporous_tpu.precond.cpr import CPRConfig, make_preconditioner
 from thermalporous_tpu.solve.fgmres import fgmres
-from thermalporous_tpu.solve.newton import NewtonConfig
 
 
 @dataclasses.dataclass
@@ -88,7 +87,6 @@ def adjoint_gradients(
     terminal: Callable | None = None,
     running: Callable | None = None,
     precond: str = "cptr",
-    newton_cfg: NewtonConfig | None = None,
     pc_cfg: CPRConfig | None = None,
     rtol: float = 1e-10,
     maxiter: int = 200,
@@ -103,8 +101,12 @@ def adjoint_gradients(
       terminal: ``j(u_N, data) -> scalar`` (optional).
       running: ``j(u_k, dt_k, data) -> scalar`` summed over k = 1..N
         (optional; e.g. produced energy: rate(u_k) · dt_k).
-      precond/newton_cfg/pc_cfg: production solver configuration; the
-        preconditioner is built on the transposed stencil.
+      precond/pc_cfg: preconditioner family and tuning; the
+        preconditioner is built on the transposed stencil.  (The forward
+        NewtonConfig is deliberately NOT taken: the backward sweep is a
+        sequence of LINEAR solves with their own tolerance economics —
+        e.g. the forward bf16 basis floor (~4e-3) is far above the
+        gradient-accuracy rtol below.)
       rtol/maxiter: adjoint linear-solve tolerance (tighter than forward
         ksp_rtol — gradient accuracy is limited by it directly).
       recycle: Krylov-recycling dimension k (0 = off).  The backward
@@ -122,7 +124,6 @@ def adjoint_gradients(
     """
     if terminal is None and running is None:
         raise ValueError("need at least one of terminal/running objective")
-    newton_cfg = newton_cfg or NewtonConfig()
     n = len(dts)
     if len(states) != n + 1:
         raise ValueError(f"states ({len(states)}) must be dts+1 ({n + 1})")

@@ -131,6 +131,10 @@ def fgmres(
         precond = lambda r: r
 
     if restart is not None and int(restart) < int(maxiter):
+        if iter_cap is not None:
+            # the restart driver owns per-cycle caps (min(r, budget left));
+            # silently dropping a caller's dynamic cap would uncap the solve
+            raise ValueError("iter_cap cannot be combined with restart")
         return _fgmres_restarted(
             matvec, b, precond, x0, rtol, atol, int(maxiter), int(restart),
             basis_dtype=basis_dtype, orth_passes=orth_passes,
@@ -320,11 +324,11 @@ def _fgmres_restarted(
     tol = jnp.maximum(rtol * b_norm, atol)
 
     def cond(carry):
-        cyc, x, tot, res, stop = carry
+        cyc, x, tot, res, stop, brk = carry
         return jnp.logical_and(cyc < ncycles, jnp.logical_not(stop))
 
     def body(carry):
-        cyc, x, tot, res, stop = carry
+        cyc, x, tot, res, stop, brk = carry
         out = fgmres(
             matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol,
             maxiter=r, iter_cap=jnp.minimum(r, maxiter - tot),
@@ -332,10 +336,14 @@ def _fgmres_restarted(
             orth_selective=orth_selective,
         )
         tot = tot + out.iters
+        # carry the Arnoldi-breakdown flag separately from plain budget
+        # exhaustion: both stop the driver, but only the former may be
+        # reported as breakdown (matching the single-cycle path)
+        brk = out.breakdown
         stop = jnp.logical_or(
-            jnp.logical_or(out.converged, out.breakdown), tot >= maxiter
+            jnp.logical_or(out.converged, brk), tot >= maxiter
         )
-        return (cyc + 1, out.x, tot, out.res_norm, stop)
+        return (cyc + 1, out.x, tot, out.res_norm, stop, brk)
 
     init = (
         jnp.asarray(0),
@@ -344,13 +352,14 @@ def _fgmres_restarted(
         # cold start: r0 = b exactly — no matvec needed for the seed norm
         b_norm if cold else _norm(b - matvec(x0)),
         jnp.asarray(False),
+        jnp.asarray(False),
     )
-    cyc, x, tot, res, stop = jax.lax.while_loop(cond, body, init)
+    cyc, x, tot, res, stop, brk = jax.lax.while_loop(cond, body, init)
     converged = res <= tol
     return FGMRESResult(
         x=x,
         iters=tot,
         res_norm=res,
         converged=converged,
-        breakdown=jnp.logical_and(stop, jnp.logical_not(converged)),
+        breakdown=jnp.logical_and(brk, jnp.logical_not(converged)),
     )

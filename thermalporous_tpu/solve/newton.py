@@ -113,6 +113,22 @@ class NewtonConfig:
     #     maxiter; suspected Mosaic layout interaction) — do not default.
     krylov_op: str = "stencil"
 
+    def __post_init__(self):
+        # typo'd string options must fail loudly, not silently degrade to
+        # the default code path (e.g. ksp_basis="bfloat16" measuring the
+        # full-precision basis); mirrors CPRConfig.pc_dtype's ValueError
+        _check = {
+            "ksp_basis": ("same", "bf16"),
+            "ksp_orth": ("cgs2", "cgs1", "cgs2s"),
+            "ls_mode": ("armijo", "nonmonotone"),
+            "pc_lag": ("every", "step"),
+            "krylov_op": ("stencil", "jvp", "stencil_pallas"),
+        }
+        for field, allowed in _check.items():
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(f"unknown {field} {v!r}; one of {allowed}")
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
