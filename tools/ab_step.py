@@ -131,6 +131,12 @@ VARIANTS = {
         dict(krylov_op="stencil", pc_lag="every",
              ksp_rtol=1e-2, ksp_maxiter=24),
         dict(degree=4), False),
+    # fused Pallas Chebyshev smoother under the FULL production config —
+    # the roofline's CPTR-apply term is co-dominant at cap 24 + bf16
+    "stencil-every-deg4-bf16-ksp2-m24-gmgpallas": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24),
+        dict(degree=4, use_pallas=True), False),
     # single-pass CGS (PETSc's KSPGMRES default): halves the remaining
     # basis-streaming traffic on top of bf16 storage (roofline follow-up)
     "stencil-every-deg4-bf16-ksp2-cgs1": (
