@@ -228,3 +228,35 @@ def test_ensemble_adjoint_matches_per_member():
         np.testing.assert_allclose(np.asarray(res_e.grad_data.phi[i]),
                                    np.asarray(res.grad_data.phi),
                                    rtol=1e-6, atol=1e-14)
+
+
+def test_adjoint_orth_gram_matches_cgs2():
+    """adjoint_gradients(orth="cgs2g2"/"cgs2g") — the low-synch Gram-matrix
+    orthogonalization — reproduces the classic-CGS2 gradients to solver
+    tolerance (the backward sweep's full-precision basis is exactly the
+    regime the 2-read variant supports)."""
+    from thermalporous_tpu.models import TwoPhaseModel
+
+    model, data = _case(TwoPhaseModel)
+    u0 = model.initial_state(data)
+    dts = [1800.0, 2700.0]
+
+    def terminal(u, d):
+        return jnp.mean(u[1, :6, :5])
+
+    sim = Simulator(model, data, precond="cptr",
+                    newton_cfg=NewtonConfig(rtol=1e-12, ksp_rtol=1e-10,
+                                            ksp_maxiter=120))
+    states = record_trajectory(sim, u0, dts)
+    ref = adjoint_gradients(model, data, states, dts, terminal=terminal,
+                            rtol=1e-11, maxiter=300)
+    assert ref.converged
+    for orth in ("cgs2g2", "cgs2g"):
+        got = adjoint_gradients(model, data, states, dts, terminal=terminal,
+                                rtol=1e-11, maxiter=300, orth=orth)
+        assert got.converged, orth
+        # same solves to solver tolerance -> gradients match to ~8 digits
+        ref_g = np.asarray(ref.grad_data.phi, np.float64)
+        got_g = np.asarray(got.grad_data.phi, np.float64)
+        denom = np.linalg.norm(ref_g) or 1.0
+        assert np.linalg.norm(got_g - ref_g) / denom < 1e-7, orth

@@ -263,3 +263,73 @@ def test_fgmres_selective_reorth_restarted(rng):
     r = np.linalg.norm(np.asarray(a) @ np.asarray(got.x, np.float64)
                        - np.asarray(b))
     assert r <= 1e-8 * np.linalg.norm(np.asarray(b))
+
+
+def test_fgmres_gram_lowsync_matches_cgs2(rng):
+    """Low-synchronization CGS2 via the carried Gram matrix (orth_gram):
+    the second projection's coefficients are algebraic (c2 = c1 - G c1),
+    cutting the 4 basis reads per iteration to 3 (orth_gram=3, real-dots
+    Gram column) or 2 (orth_gram=2, algebraic column).  On a TIGHT
+    tolerance both variants must converge wherever CGS2 does, in
+    (near-)identical iterations, to the same true residual."""
+    import numpy as np
+
+    a, x_true, b = _random_system(rng, n=60, cond_shift=4.0)
+    an = np.asarray(a)
+    d = jnp.asarray(1.0 / np.diag(an))
+    pc = lambda r: d * r
+    mv = lambda v: a @ v
+    bn = np.linalg.norm(np.asarray(b))
+
+    ref = fgmres(mv, b, precond=pc, rtol=1e-10, maxiter=60)
+    for gp in (3, 2):
+        got = fgmres(mv, b, precond=pc, rtol=1e-10, maxiter=60,
+                     orth_gram=gp)
+        assert bool(got.converged), gp
+        assert abs(int(got.iters) - int(ref.iters)) <= 2, gp
+        r = np.linalg.norm(an @ np.asarray(got.x, np.float64) - np.asarray(b))
+        assert r <= 1e-8 * bn, (gp, r)
+
+
+def test_fgmres_gram3_bf16_matches_cgs2_floor(rng):
+    """orth_gram=3 keeps an exact-of-stored Gram matrix (real dots against
+    the bf16-stored basis), so with ksp_basis=bf16 it must match classic
+    CGS2's behavior at the loose inexact-Newton tolerance.  (orth_gram=2's
+    algebraic column misses the storage rounding and degrades toward CGS1
+    under bf16 — measured in-session — so it is NOT gated here; its
+    supported regime is full-precision basis storage.)"""
+    import numpy as np
+
+    a, x_true, b = _random_system(rng, n=60, cond_shift=4.0)
+    an = np.asarray(a)
+    d = jnp.asarray(1.0 / np.diag(an))
+    pc = lambda r: d * r
+    mv = lambda v: a @ v
+    bn = np.linalg.norm(np.asarray(b))
+
+    ref = fgmres(mv, b, precond=pc, rtol=1e-3, maxiter=60,
+                 basis_dtype=jnp.bfloat16)
+    got = fgmres(mv, b, precond=pc, rtol=1e-3, maxiter=60,
+                 basis_dtype=jnp.bfloat16, orth_gram=3)
+    assert bool(got.converged)
+    assert abs(int(got.iters) - int(ref.iters)) <= 2
+    r = np.linalg.norm(an @ np.asarray(got.x, np.float64) - np.asarray(b))
+    assert r <= 2e-2 * bn, r
+
+
+def test_fgmres_gram_restarted_and_validation(rng):
+    """orth_gram threads through the FGMRES(r) restart driver; invalid
+    values fail loudly."""
+    import numpy as np
+    import pytest
+
+    a, x_true, b = _random_system(rng, n=60, cond_shift=4.0)
+    got = fgmres(lambda v: a @ v, b, rtol=1e-10, maxiter=60, restart=16,
+                 orth_gram=3)
+    assert bool(got.converged)
+    r = np.linalg.norm(np.asarray(a) @ np.asarray(got.x, np.float64)
+                       - np.asarray(b))
+    assert r <= 1e-8 * np.linalg.norm(np.asarray(b))
+
+    with pytest.raises(ValueError, match="orth_gram"):
+        fgmres(lambda v: a @ v, b, maxiter=20, orth_gram=1)

@@ -439,3 +439,19 @@ def test_nonmonotone_chop_matches_oracle():
     # or claim convergence
     u2, st2 = sim.step(model.initial_state(data), 1.0e9)
     assert not bool(st2.converged) or bool(jnp.isfinite(st2.norm))
+
+
+@pytest.mark.parametrize("ksp_orth", ["cgs2g", "cgs2g2"])
+def test_ksp_orth_gram_matches_oracle(ksp_orth):
+    """Low-synch Gram-matrix CGS2 (fgmres.orth_gram) is orthogonalization
+    arithmetic only — the converged states must match the f64 dense oracle
+    exactly like the cgs2 default does (solve/fgmres.py)."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(model, data, precond="cptr",
+                    newton_cfg=dataclasses.replace(TIGHT, ksp_orth=ksp_orth))
+    u = model.initial_state(data)
+    u, stats = sim.step(u, dts[0])
+    assert bool(stats.converged), ksp_orth
+    _compare_states(u, oracle_states[0])

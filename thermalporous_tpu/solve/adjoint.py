@@ -91,6 +91,7 @@ def adjoint_gradients(
     rtol: float = 1e-10,
     maxiter: int = 200,
     recycle: int = 0,
+    orth: str = "cgs2",
 ) -> AdjointResult:
     """Backward sweep over a recorded trajectory.
 
@@ -118,6 +119,12 @@ def adjoint_gradients(
         are front-localized and move with every Newton update — measured
         LOSS, BASELINE.md round-3 ledger — hence recycling defaults off
         there and on here only by explicit request.)
+      orth: Gram–Schmidt variant for the adjoint FGMRES ("cgs2" default;
+        "cgs2g"/"cgs2g2" = the low-synch Gram-matrix forms, see
+        fgmres.orth_gram — the backward sweep stores a FULL-PRECISION
+        basis, exactly the regime where "cgs2g2" halves the dominant
+        basis-streaming traffic at tight tolerance).  Ignored when
+        ``recycle > 0`` (the deflated solver runs classic CGS2).
 
     Returns AdjointResult with J, dJ/d(data) as a ProblemData-shaped
     pytree (tgeo/tcond/phi/wells cotangents), and dJ/du₀.
@@ -183,7 +190,9 @@ def adjoint_gradients(
             else:
                 res = fgmres(matvec_t, lam,
                              precond=lambda r: apply(pc_state, r),
-                             rtol=rtol, maxiter=maxiter)
+                             rtol=rtol, maxiter=maxiter,
+                             orth_passes=1 if orth == "cgs1" else 2,
+                             orth_gram={"cgs2g": 3, "cgs2g2": 2}.get(orth, 0))
             mu = res.x
             _, w_old, w_data = vjp_fn(mu)
             out = (-w_old, jax.tree.map(jnp.negative, w_data),
@@ -199,7 +208,7 @@ def adjoint_gradients(
     running_vjps = _cached(model, ("run", running), build_running)
     backward_step = _cached(
         model, ("bwd", precond, pc_key, float(rtol), int(maxiter),
-                int(recycle)),
+                int(recycle), orth),
         build_backward)
 
     u_n = states[n]

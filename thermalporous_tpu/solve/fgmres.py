@@ -72,6 +72,7 @@ def fgmres(
     basis_dtype=None,
     orth_passes: int = 2,
     orth_selective: bool = False,
+    orth_gram: int = 0,
 ) -> FGMRESResult:
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -126,10 +127,36 @@ def fgmres(
         orthogonality — still reorthogonalize.  NOTE: under ``vmap``
         (the ensemble axis) ``cond`` lowers to ``select`` and both
         branches execute — correct, but the traffic saving vanishes.
+      orth_gram: low-synchronization CGS2 via an explicit Gram matrix
+        (Świrydowicz et al., "low-synch Gram–Schmidt", the one-reduce
+        CGS-2 used by hypre/Trilinos GMRES).  Carry G = VᵀV of the
+        STORED basis (f64 scalars, (m+1)² — trivial); then the second
+        projection's coefficients are algebraic — c₂ = VᵀW' = Vᵀw −
+        (VᵀV)c₁ = c₁ − G c₁ — and BOTH corrections apply in one
+        reconstruction pass w″ = w − V(c₁+c₂).  Classic CGS2 reads the
+        full static basis 4× per iteration (2 projection + 2
+        reconstruction passes), the dominant HBM traffic of a
+        preconditioned solve (BASELINE.md roofline); this variant reads:
+
+        * ``orth_gram=3``: 3 passes — the new Gram column comes from
+          REAL dots against the stored (possibly low-precision) basis,
+          so G is exact-of-stored and the orthogonalization quality is
+          CGS2-grade even with ``basis_dtype=bf16``.
+        * ``orth_gram=2``: 2 passes — the new column is ALSO algebraic,
+          Vᵀv_{j+1} = (c₁ − G(c₁+c₂))/h_{j+1,j}.  This misses (a) the
+          f32 arithmetic rounding of the reconstruction axpy and (b)
+          the storage rounding of v_{j+1}; (b) is a RANDOM per-cell
+          perturbation, so its effect on the dot is O(eps_store/√N) —
+          negligible even for bf16 at 3M dof — while (a) is the
+          O(eps_f32·κ) term the literature shows stays bounded.
+        ``orth_gram=0`` (default) = classic CGS per ``orth_passes``/
+        ``orth_selective``.  orth_gram ignores both of those knobs.
     """
     if precond is None:
         precond = lambda r: r
 
+    if orth_gram not in (0, 2, 3):
+        raise ValueError(f"orth_gram must be 0, 2 or 3, got {orth_gram}")
     if restart is not None and int(restart) < int(maxiter):
         if iter_cap is not None:
             # the restart driver owns per-cycle caps (min(r, budget left));
@@ -138,7 +165,7 @@ def fgmres(
         return _fgmres_restarted(
             matvec, b, precond, x0, rtol, atol, int(maxiter), int(restart),
             basis_dtype=basis_dtype, orth_passes=orth_passes,
-            orth_selective=orth_selective,
+            orth_selective=orth_selective, orth_gram=orth_gram,
         )
 
     m = int(maxiter)
@@ -173,17 +200,28 @@ def fgmres(
 
     jmax = m if iter_cap is None else jnp.minimum(m, iter_cap)
 
-    def cond(carry):
-        j, V, Z, H, cs, sn, g, res, done = carry
-        return jnp.logical_and(j < jmax, jnp.logical_not(done))
-
     axes = tuple(range(1, b.ndim + 1))
+    rd = reduce_dtype(dtype)
+
+    # Gram matrix of the stored basis for the low-synch variants (f64
+    # scalars, (m+1)² — trivial next to one basis slot).  The seed entry is
+    # a real self-dot of the STORED v₀ so low-precision storage is honest.
+    if orth_gram:
+        G = jnp.zeros((m + 1, m + 1), dtype=rd)
+        v0 = V[0].astype(dtype)
+        G = G.at[0, 0].set(_dot(v0, v0).astype(rd))
+    else:
+        G = jnp.zeros((1, 1), dtype=rd)  # placeholder carry slot
+
+    def cond(carry):
+        j, V, Z, H, cs, sn, g, G, res, done = carry
+        return jnp.logical_and(j < jmax, jnp.logical_not(done))
 
     # MIRROR: solve/deflate.py::fgmres_dr copies this loop body (plus a
     # C-deflation step) — mirror any fix here into it (see its docstring
     # for why the two are not a shared helper).
     def body(carry):
-        j, V, Z, H, cs, sn, g, res, done = carry
+        j, V, Z, H, cs, sn, g, G, res, done = carry
         z = precond(V[j].astype(dtype))
         w = matvec(z)
         Z = Z.at[j].set(z)
@@ -204,45 +242,67 @@ def fgmres(
         # parity with full f64).
         active = (jnp.arange(m + 1) <= j).astype(dtype)
 
-        def orth(w):
+        def proj(x):
+            """ONE read of V: batched dots <V_i, x> (mask applied by caller).
+            With low-precision storage this is a broadcast-multiply-reduce,
+            NOT a dot HLO: a skinny (m+1, N) low-precision dot pads onto
+            the MXU (rows pad 41→128 — measured 40% end-to-end LOSS),
+            while the fused reduce reads V once at bf16 bytes with the
+            convert folded into the reduction loop."""
             if mixed:
-                # broadcast-multiply-reduce, NOT a dot HLO: a skinny
-                # (m+1, N) low-precision dot pads onto the MXU (rows pad
-                # 41→128 — measured 40% end-to-end LOSS), while the fused
-                # reduce reads V once per expression at bf16 bytes with
-                # the convert folded into the reduction loop
+                return jnp.sum(V.astype(dtype) * x[None], axis=axes)
+            return jnp.tensordot(V, x, axes=(axes, tuple(range(b.ndim))))
+
+        def recon(hcoef, x):
+            """ONE read of V: x − Σ_i hcoef_i V_i."""
+            if mixed:
                 exp = (slice(None),) + (None,) * b.ndim
-                h = jnp.sum(V.astype(dtype) * w[None], axis=axes) * active
-                delta = jnp.sum(h[exp].astype(dtype) * V.astype(dtype),
-                                axis=0)
-                return w - delta, h
-            h = jnp.tensordot(V, w, axes=(axes, tuple(range(b.ndim)))) * active
-            return w - jnp.tensordot(h, V, axes=(0, 0)), h
+                return x - jnp.sum(hcoef[exp].astype(dtype) * V.astype(dtype),
+                                   axis=0)
+            return x - jnp.tensordot(hcoef, V, axes=(0, 0))
 
-        w, h = orth(w)
-        if orth_passes >= 2 and orth_selective:
-            h1n = _norm(w)
-            # ‖w_pre‖² = ‖h‖² + ‖w₁‖² (orthonormal V); reorthogonalize
-            # only when pass 1 cancelled more than (1 - 1/√2) of w_pre —
-            # the classical selective-reorthogonalization test, evaluated
-            # from scalars already in hand
-            hh = jnp.sum((h * h).astype(reduce_dtype(dtype))).astype(dtype)
-            need = h1n * h1n < 0.5 * (hh + h1n * h1n)
+        def orth(w):
+            h = proj(w) * active
+            return recon(h, w), h
 
-            def _reorth(w):
-                w2, h2 = orth(w)
-                return w2, h2, _norm(w2)
-
-            def _skip(w):
-                return w, jnp.zeros_like(h), h1n
-
-            w, h2, h_next = jax.lax.cond(need, _reorth, _skip, w)
-            h = h + h2
-        else:
-            if orth_passes >= 2:
-                w, h2 = orth(w)
-                h = h + h2
+        c1r = Gm = None
+        if orth_gram:
+            # low-synch CGS2 (see the orth_gram docstring): the second
+            # projection's coefficients come from the carried Gram matrix,
+            # so both corrections land in one reconstruction pass — 2
+            # basis reads here (+1 for the orth_gram=3 column update).
+            amask = active.astype(rd)
+            Gm = G * (amask[None, :] * amask[:, None])
+            c1r = (proj(w) * active).astype(rd)
+            hr = c1r + (c1r - Gm @ c1r)   # c₁ + c₂, f64
+            h = hr.astype(dtype)
+            w = recon(h, w)
             h_next = _norm(w)
+        else:
+            w, h = orth(w)
+            if orth_passes >= 2 and orth_selective:
+                h1n = _norm(w)
+                # ‖w_pre‖² = ‖h‖² + ‖w₁‖² (orthonormal V); reorthogonalize
+                # only when pass 1 cancelled more than (1 - 1/√2) of w_pre —
+                # the classical selective-reorthogonalization test, evaluated
+                # from scalars already in hand
+                hh = jnp.sum((h * h).astype(reduce_dtype(dtype))).astype(dtype)
+                need = h1n * h1n < 0.5 * (hh + h1n * h1n)
+
+                def _reorth(w):
+                    w2, h2 = orth(w)
+                    return w2, h2, _norm(w2)
+
+                def _skip(w):
+                    return w, jnp.zeros_like(h), h1n
+
+                w, h2, h_next = jax.lax.cond(need, _reorth, _skip, w)
+                h = h + h2
+            else:
+                if orth_passes >= 2:
+                    w, h2 = orth(w)
+                    h = h + h2
+                h_next = _norm(w)
         H = H.at[:, j].set(h)
         breakdown = h_next <= 1e-300
         V = V.at[j + 1].set(
@@ -250,6 +310,24 @@ def fgmres(
                       w / jnp.where(breakdown, 1.0, h_next)).astype(bd)
         )
         H = H.at[j + 1, j].set(h_next)
+
+        if orth_gram == 3:
+            # real dots against the STORED basis (V[j+1] already set, so the
+            # contraction yields the exact self-dot too); exact-of-stored G
+            # even under low-precision storage.  Breakdown stores a zero
+            # vector, whose dots are zero — no special-casing needed.
+            act1 = (jnp.arange(m + 1) <= j + 1).astype(rd)
+            gcol = proj(V[j + 1].astype(dtype)).astype(rd) * act1
+            G = G.at[j + 1, :].set(gcol)
+            G = G.at[:, j + 1].set(gcol)
+        elif orth_gram == 2:
+            # algebraic column: Vᵀv_{j+1} = (Vᵀw″)/h = (c₁ − G(c₁+c₂))/h;
+            # misses only arithmetic/storage rounding (see docstring)
+            denom = jnp.where(breakdown, 1.0, h_next).astype(rd)
+            gcol = jnp.where(breakdown, 0.0, (c1r - Gm @ hr) / denom)
+            gcol = gcol.at[j + 1].set(jnp.where(breakdown, 0.0, 1.0))
+            G = G.at[j + 1, :].set(gcol)
+            G = G.at[:, j + 1].set(gcol)
 
         # apply previous Givens rotations to the new column
         def rot(i, H):
@@ -276,11 +354,11 @@ def fgmres(
 
         res = jnp.abs(g[j + 1])
         done = jnp.logical_or(res <= tol, breakdown)
-        return (j + 1, V, Z, H, cs, sn, g, res, done)
+        return (j + 1, V, Z, H, cs, sn, g, G, res, done)
 
     init_done = beta <= tol
-    carry = (jnp.asarray(0), V, Z, H, cs, sn, g, beta, init_done)
-    j, V, Z, H, cs, sn, g, res, done = jax.lax.while_loop(cond, body, carry)
+    carry = (jnp.asarray(0), V, Z, H, cs, sn, g, G, beta, init_done)
+    j, V, Z, H, cs, sn, g, G, res, done = jax.lax.while_loop(cond, body, carry)
 
     # back-substitution on the k×k leading system, masked for dynamic k=j:
     # zero unused columns, unit diagonal on unused rows, zero rhs beyond k.
@@ -306,6 +384,7 @@ def fgmres(
 def _fgmres_restarted(
     matvec, b, precond, x0, rtol, atol, maxiter: int, r: int,
     basis_dtype=None, orth_passes: int = 2, orth_selective: bool = False,
+    orth_gram: int = 0,
 ) -> FGMRESResult:
     """FGMRES(r) restart cycles up to ``maxiter`` total iterations.
 
@@ -333,7 +412,7 @@ def _fgmres_restarted(
             matvec, b, precond=precond, x0=x, rtol=rtol, atol=atol,
             maxiter=r, iter_cap=jnp.minimum(r, maxiter - tot),
             basis_dtype=basis_dtype, orth_passes=orth_passes,
-            orth_selective=orth_selective,
+            orth_selective=orth_selective, orth_gram=orth_gram,
         )
         tot = tot + out.iters
         # carry the Arnoldi-breakdown flag separately from plain budget

@@ -52,7 +52,11 @@ class NewtonConfig:
     # collapses trajectories exactly on the hard steps, BASELINE.md), or
     # "cgs2s" (selective: the second pass runs only when Rutishauser's
     # cancellation criterion fires — CGS2 stability where it matters,
-    # CGS1 traffic where it doesn't; see fgmres.orth_selective).
+    # CGS1 traffic where it doesn't; see fgmres.orth_selective), or the
+    # low-synchronization Gram-matrix CGS2 variants (fgmres.orth_gram):
+    # "cgs2g" (3 basis reads/iteration instead of CGS2's 4; the new Gram
+    # column from real dots — exact-of-stored even with ksp_basis="bf16")
+    # and "cgs2g2" (2 reads; fully algebraic Gram update).
     ksp_orth: str = "cgs2"
     # Krylov-subspace recycling dimension (0 = off).  k > 0 carries a
     # k-column recycle space across the Newton iterations of a solve
@@ -119,7 +123,7 @@ class NewtonConfig:
         # full-precision basis); mirrors CPRConfig.pc_dtype's ValueError
         _check = {
             "ksp_basis": ("same", "bf16"),
-            "ksp_orth": ("cgs2", "cgs1", "cgs2s"),
+            "ksp_orth": ("cgs2", "cgs1", "cgs2s", "cgs2g", "cgs2g2"),
             "ls_mode": ("armijo", "nonmonotone"),
             "pc_lag": ("every", "step"),
             "krylov_op": ("stencil", "jvp", "stencil_pallas"),
@@ -254,8 +258,9 @@ def newton_solve(
                 atol=cfg.ksp_atol,
                 maxiter=cfg.ksp_maxiter,
                 basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
-                # the deflated solver does not implement the selective
-                # second pass; "cgs2s" safely degrades to plain CGS2 here
+                # the deflated solver implements neither the selective
+                # second pass nor the Gram-matrix variants; "cgs2s"/
+                # "cgs2g"/"cgs2g2" safely degrade to plain CGS2 here
                 orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
             )
         else:
@@ -270,6 +275,7 @@ def newton_solve(
                 basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
                 orth_passes=1 if cfg.ksp_orth == "cgs1" else 2,
                 orth_selective=cfg.ksp_orth == "cgs2s",
+                orth_gram={"cgs2g": 3, "cgs2g2": 2}.get(cfg.ksp_orth, 0),
             )
         dx = result.x
         if chop is not None:

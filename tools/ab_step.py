@@ -131,6 +131,24 @@ VARIANTS = {
         dict(krylov_op="stencil", pc_lag="every",
              ksp_rtol=1e-2, ksp_maxiter=24),
         dict(degree=4), False),
+    # low-synchronization CGS2 via the carried Gram matrix (fgmres
+    # orth_gram; round-3 roofline follow-up): the second projection's
+    # coefficients are algebraic, so the 4 basis reads per iteration
+    # drop to 3 ("cgs2g": real-dots Gram column — the bf16-safe form)
+    # or 2 ("cgs2g2": fully algebraic — full-precision basis only,
+    # bf16 storage rounding breaks the algebraic column, measured)
+    "stencil-every-deg4-bf16-ksp2-m24-g3": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=4), False),
+    "stencil-every-deg4-ksp2-m24-g3": (
+        dict(krylov_op="stencil", pc_lag="every",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=4), False),
+    "stencil-every-deg4-ksp2-m24-g2": (
+        dict(krylov_op="stencil", pc_lag="every",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g2"),
+        dict(degree=4), False),
     # fused Pallas Chebyshev smoother under the FULL production config —
     # the roofline's CPTR-apply term is co-dominant at cap 24 + bf16
     "stencil-every-deg4-bf16-ksp2-m24-gmgpallas": (

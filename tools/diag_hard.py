@@ -150,7 +150,7 @@ def main():
                      gmg_pc(gva))
 
     # --- full-system CPTR variants -----------------------------------
-    def solve(tag, pc_cfg, maxiter=200):
+    def solve(tag, pc_cfg, maxiter=200, **ksp):
         if not want(tag):
             return
         pc_cfg = resolve_adaptive_coarsening(st, pc_cfg)
@@ -160,7 +160,7 @@ def main():
         def run(state, f, st):
             res = fgmres(st.matvec, -f,
                          precond=lambda r: cpr_apply(state, r, pc_cfg),
-                         rtol=1e-3, maxiter=maxiter)
+                         rtol=1e-3, maxiter=maxiter, **ksp)
             return res.iters, res.converged
 
         it, conv = jax.device_get(run(state, f, st))
@@ -169,6 +169,19 @@ def main():
     A = dict(coarsen="adaptive", cycle_type="k", max_coarse_cells=1024)
     solve("cptr production (adaptive deg4 s2rbgs)",
           CPRConfig(stage2="rbgs", gmg=GMGConfig(degree=4, **A)))
+    # low-synch Gram-matrix CGS2 (fgmres orth_gram): iteration-count parity
+    # gate at full scale before any TPU wall A/B — counts must match the
+    # production cgs2 row (CPU counts reproduce TPU exactly, round-3
+    # protocol).  bf16 rows gate the storage-rounding interaction.
+    P = CPRConfig(stage2="rbgs", gmg=GMGConfig(degree=4, **A))
+    solve("cptr production, ORTH cgs2g f32", P, orth_gram=3)
+    solve("cptr production, ORTH cgs2g2 f32", P, orth_gram=2)
+    solve("cptr production, ORTH bf16 cgs2 base", P,
+          basis_dtype=jnp.bfloat16)
+    solve("cptr production, ORTH bf16 cgs2g", P,
+          basis_dtype=jnp.bfloat16, orth_gram=3)
+    solve("cptr production, ORTH bf16 cgs2g2", P,
+          basis_dtype=jnp.bfloat16, orth_gram=2)
     # bf16 PC-coefficient storage bisected: which half loses quality at
     # SPE10 contrast + large dt (measured on the ramp: 27-31/N at 38.4 ks
     # under full bf16 vs ~18/N f32)?

@@ -25,7 +25,11 @@ Bounds assume HBM_BW (v5e ≈ 819 GB/s) and count mandatory HBM traffic:
   assembly    write 45N coef + read state/fields
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/roofline.py \
-    [n] [reps] [basis ...]
+    [n] [reps] [m] [basis ...]
+
+``m`` is the static Krylov cap (default 40 — the round-2 point; pass 24
+for the round-3 production point, where the basis term shrinks by
+~(25/41) and the CPTR apply becomes the top per-iteration term).
 """
 
 from __future__ import annotations
@@ -49,7 +53,8 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    bases = sys.argv[3:] or ["same", "bf16"]
+    m_arg = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    bases = sys.argv[4:] or ["same", "bf16"]
 
     dtype = jnp.float32
     pp = PhysicalParams()
@@ -82,7 +87,7 @@ def main():
     N = grid.ncells
     nc = model.nc
     sb = nc * N * 4                      # one f32 state, bytes
-    m = 40
+    m = m_arg
 
     def timed(cfg, k_expect):
         step = jax.jit(make_step_fn(model, "cptr", cfg, pc))

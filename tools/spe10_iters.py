@@ -110,6 +110,20 @@ def main():
             dict(pc_lag="every", ksp_maxiter=24, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
             dict(coarsen="adaptive", degree=4)),
+        # low-synch Gram-matrix CGS2 on the production ramp (round-3
+        # follow-up, see fgmres.orth_gram): "g2" = 2 basis reads/iter with
+        # a FULL-PRECISION basis — same bytes as bf16+cgs2's 4 reads but
+        # no 4e-3 basis floor; "bf16-g3" = 3 bf16 reads (cheapest/iter,
+        # trajectory-shifted on the 1024² bench workload)
+        "every-adapt-rbgs-deg4-m24-ds02-nm-ksp2-g2": (
+            dict(pc_lag="every", ksp_maxiter=24, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_orth="cgs2g2"),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m24-ds02-nm-ksp2-bf16-g3": (
+            dict(pc_lag="every", ksp_maxiter=24, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
+                 ksp_orth="cgs2g"),
+            dict(coarsen="adaptive", degree=4)),
         # + operator-weighted prolongation (wide coarse stencils)
         "every-adapt-rbgs-deg4-m40-ds02-nm-ksp2-bf16-wp": (
             dict(pc_lag="every", ksp_maxiter=40, ds_max=0.2, max_iters=24,
