@@ -90,9 +90,14 @@ def main():
     # (honest at this tolerance: its true-residual floor is ~4e-3) adds
     # +15% more by halving the dominant CGS2 streaming traffic, and the
     # 24-cap stacks +15% on top: 13.4M -> 18.7M -> 21.5M cell-updates/s.
+    # ksp_orth="cgs2g" (low-synch CGS2, real-dots Gram column — the
+    # bf16-safe form): 3 basis reads/iteration instead of 4; measured
+    # +8% time-to-solution and +10% cu/s over bf16+cgs2 on the 40-step
+    # doubling ramp, reproducible interleaved (BASELINE.md round-3
+    # ledger; cap 32 under g3 re-measured and still loses to 24).
     cfg = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-2, ksp_maxiter=24,
                        max_iters=14, pc_lag="every", krylov_op="stencil",
-                       ksp_basis="bf16")
+                       ksp_basis="bf16", ksp_orth="cgs2g")
     # degree-4 Chebyshev smoothing: measured 47% better time-to-solution on
     # the hard end of the ramp (fewer Δt cutbacks AND less wall; see
     # BASELINE.md round-2 A/B table) at no cost in the easy regime

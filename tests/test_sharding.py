@@ -88,6 +88,33 @@ def test_sharded_newton_step_matches():
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.parametrize("ksp_orth", ["cgs2g", "cgs2g2"])
+def test_sharded_ksp_orth_gram_match(ksp_orth):
+    """Low-synch Gram-matrix CGS2 (fgmres.orth_gram — adopted by the
+    production preset) under domain decomposition: the carried G = VᵀV is
+    built from global dots that GSPMD lowers to all-reduces, so sharded
+    Newton/FGMRES counts and states must match single-device exactly."""
+    import dataclasses
+
+    model, data = _case(TwoPhaseModel)
+    cfg = NewtonConfig(rtol=1e-9, ksp_rtol=1e-7, ksp_orth=ksp_orth)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+    u0 = model.initial_state(data)
+    u_ref, stats_ref = sim.step(u0, 3600.0)
+    assert bool(stats_ref.converged)
+
+    mesh = make_grid_mesh(8)
+    sim_s = Simulator(model, shard_problem_data(data, mesh), precond="cptr",
+                      newton_cfg=cfg)
+    u_out, stats = sim_s.step(shard_state(u0, mesh), 3600.0)
+    assert bool(stats.converged)
+    assert int(stats.iters) == int(stats_ref.iters)
+    assert int(stats.ksp_iters) == int(stats_ref.ksp_iters)
+    np.testing.assert_allclose(np.asarray(u_out[0]), np.asarray(u_ref[0]), atol=5.0)
+    np.testing.assert_allclose(np.asarray(u_out[2]), np.asarray(u_ref[2]), atol=1e-8)
+    assert len(u_out.sharding.device_set) == 8
+
+
 def test_sharded_3d_two_phase_step():
     """3D domain decomposition (z local): full CPTR step on a 2x4 mesh."""
     import dataclasses

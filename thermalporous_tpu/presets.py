@@ -268,6 +268,15 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         # The bf16 basis is honest ONLY at this loose forcing term (its
         # true-residual floor is ~4e-3 — fgmres.py docstring); revert
         # BOTH if tightening ksp_rtol.
+        # ksp_orth stays the default cgs2 (NOT the cheaper low-synch
+        # "cgs2g", measured 2026-08-19): cgs2g is +10% on the
+        # harness-driven doubling ramp (19.2k vs 17.4k realtime) but the
+        # CONTROLLER-driven horizon — the product path this preset
+        # advertises — lands on a worse trajectory with it (8-day 35.4k
+        # vs 38.5k, 30-day 76.6k vs 77.9k, interleaved repeats; more
+        # FGMRES/Newton, fm-constant rescans don't recover it).  Ledger:
+        # BASELINE.md round-3.  Flip to "cgs2g" for harness/fixed-dt
+        # workloads; bench.py uses it.
         newton_cfg=NewtonConfig(atol=3e-5, ksp_rtol=1e-2, ksp_maxiter=24,
                                 max_iters=16, pc_lag="every", ds_max=0.2,
                                 ls_mode="nonmonotone", ksp_basis="bf16"),

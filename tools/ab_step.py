@@ -149,6 +149,12 @@ VARIANTS = {
         dict(krylov_op="stencil", pc_lag="every",
              ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g2"),
         dict(degree=4), False),
+    # cap under the cheaper g3 streaming: hard doubling steps benefit from
+    # more directions, and g3 cut the per-slot cost 4->3 passes at bf16
+    "stencil-every-deg4-bf16-ksp2-m32-g3": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=32, ksp_orth="cgs2g"),
+        dict(degree=4), False),
     # fused Pallas Chebyshev smoother under the FULL production config —
     # the roofline's CPTR-apply term is co-dominant at cap 24 + bf16
     "stencil-every-deg4-bf16-ksp2-m24-gmgpallas": (

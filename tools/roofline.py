@@ -30,6 +30,11 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/roofline.py \
 ``m`` is the static Krylov cap (default 40 — the round-2 point; pass 24
 for the round-3 production point, where the basis term shrinks by
 ~(25/41) and the CPTR apply becomes the top per-iteration term).
+
+``basis`` tokens may carry an orthogonalization suffix: ``same-g2``
+(f32 basis + fully-algebraic low-synch CGS2, 2 basis passes/iter),
+``bf16-g3`` (bf16 basis + real-dots Gram column, 3 passes) — see
+fgmres.orth_gram.  Plain ``same``/``bf16`` = classic CGS2 (4 passes).
 """
 
 from __future__ import annotations
@@ -106,33 +111,40 @@ def main():
 
     print(f"# {n}x{n} f32 two-phase, dt={dt:.0f}s, deg-4 K-cycle CPTR, "
           f"cap {m}, {reps} reps")
+    # token = "<basis>[-g2|-g3]": storage dtype + orthogonalization variant
+    ORTH = {"g2": "cgs2g2", "g3": "cgs2g"}
+    PASSES = {"cgs2": 4, "cgs2g2": 2, "cgs2g": 3}
     meas = {}
-    for basis in bases:
+    for token in bases:
+        basis, _, osfx = token.partition("-")
+        orth = ORTH.get(osfx, "cgs2")
         walls = {}
         for k in (1, m):
             cfg = NewtonConfig(rtol=1e-30, atol=0.0, ksp_rtol=1e-30,
                                ksp_maxiter=m, max_iters=1, pc_lag="every",
                                max_backtracks=1, ksp_basis=basis,
+                               ksp_orth=orth,
                                # force exactly k iterations via the cap
                                ) if k == m else NewtonConfig(
                 rtol=1e-30, atol=0.0, ksp_rtol=1e-30, ksp_maxiter=1,
                 max_iters=1, pc_lag="every", max_backtracks=1,
-                ksp_basis=basis)
+                ksp_basis=basis, ksp_orth=orth)
             walls[k] = timed(cfg, k)
         # k=1 ran at cap 1 (1 basis slot), k=m at cap m: per-iteration cost
         # AT CAP M comes from the m-run alone minus the fixed intercept;
         # the k=1 run approximates intercept + 1 cheap iteration
         (w1, k1), (wm, km) = walls[1], walls[m]
         per_iter_m = (wm - w1) / (km - k1)
-        meas[basis] = (w1, wm, per_iter_m)
-        print(f"basis={basis:5s}: wall(k={k1},cap1)={w1*1e3:7.2f} ms  "
+        meas[token] = (w1, wm, per_iter_m)
+        print(f"basis={token:8s}: wall(k={k1},cap1)={w1*1e3:7.2f} ms  "
               f"wall(k={km},cap{m})={wm*1e3:7.2f} ms  "
               f"-> per-iter at cap {m} ≈ {per_iter_m*1e3:6.3f} ms")
 
     # ---- bounds
     coef_b = (2 * grid.dim + 1) * nc * nc * N * 4
     matvec_b = coef_b + 2 * sb
-    cgs2 = lambda vb: 4 * (m + 1) * nc * N * vb + 6 * sb  # + w traffic
+    # p = basis passes/iteration (4 classic CGS2, 3 Gram/real-dots, 2 algebraic)
+    cgs2 = lambda vb, p=4: p * (m + 1) * nc * N * vb + 6 * sb  # + w traffic
     # stage-1 GMG per apply: two scalar hierarchies (p, T), (deg+1) stencil
     # matvecs per level visit, 5-coef scalar stencils, 2D coarsening ratio
     # ~1/4 per level (geometric series 4/3), K-cycle revisit factor ~1.5
@@ -144,7 +156,7 @@ def main():
     # default stage2 is block-Jacobi: read nc² diag inverse + r, write x
     stage2_b = nc * nc * N * 4 + 2 * sb
     cptr_b = stage1_b + stage2_b
-    per_iter_bound = lambda vb: (matvec_b + cgs2(vb) + cptr_b) / HBM_BW
+    per_iter_bound = lambda vb, p=4: (matvec_b + cgs2(vb, p) + cptr_b) / HBM_BW
 
     assembly_b = coef_b + 10 * N * 4
     fixed_bound = (assembly_b + 2 * gmg_one + 4 * sb) / HBM_BW
@@ -153,16 +165,22 @@ def main():
     print(f"  matvec       {matvec_b/2**20:7.1f} MiB  {matvec_b/HBM_BW*1e3:6.3f} ms")
     print(f"  CGS2 f32     {cgs2(4)/2**20:7.1f} MiB  {cgs2(4)/HBM_BW*1e3:6.3f} ms")
     print(f"  CGS2 bf16    {cgs2(2)/2**20:7.1f} MiB  {cgs2(2)/HBM_BW*1e3:6.3f} ms")
+    print(f"  g2 f32 (2p)  {cgs2(4,2)/2**20:7.1f} MiB  {cgs2(4,2)/HBM_BW*1e3:6.3f} ms")
+    print(f"  g3 bf16 (3p) {cgs2(2,3)/2**20:7.1f} MiB  {cgs2(2,3)/HBM_BW*1e3:6.3f} ms")
     print(f"  CPTR apply   {cptr_b/2**20:7.1f} MiB  {cptr_b/HBM_BW*1e3:6.3f} ms")
     print(f"  per-iter bound: f32 {per_iter_bound(4)*1e3:.3f} ms, "
-          f"bf16 {per_iter_bound(2)*1e3:.3f} ms")
+          f"bf16 {per_iter_bound(2)*1e3:.3f} ms, "
+          f"f32-g2 {per_iter_bound(4,2)*1e3:.3f} ms, "
+          f"bf16-g3 {per_iter_bound(2,3)*1e3:.3f} ms")
     print(f"  per-Newton fixed bound ≈ {fixed_bound*1e3:.3f} ms "
           f"(assembly + 2 GMG setups + vectors)")
-    for basis, (w1, wm, pi) in meas.items():
+    for token, (w1, wm, pi) in meas.items():
+        basis, _, osfx = token.partition("-")
         vb = 2 if basis == "bf16" else 4
-        print(f"  basis={basis:5s}: achieved per-iter {pi*1e3:.3f} ms vs "
-              f"bound {per_iter_bound(vb)*1e3:.3f} ms "
-              f"-> {per_iter_bound(vb)/pi*100:.0f}% of roofline")
+        p = PASSES[ORTH.get(osfx, "cgs2")]
+        print(f"  basis={token:8s}: achieved per-iter {pi*1e3:.3f} ms vs "
+              f"bound {per_iter_bound(vb,p)*1e3:.3f} ms "
+              f"-> {per_iter_bound(vb,p)/pi*100:.0f}% of roofline")
 
 
 if __name__ == "__main__":

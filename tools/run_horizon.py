@@ -53,10 +53,10 @@ def main():
         lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, data)
     ncells = model.grid.ncells
 
-    # production levers measured on the ramp (BASELINE.md round 3):
-    # inexact-Newton forcing term + bf16 Arnoldi basis
-    ncfg = dataclasses.replace(case.newton_cfg, ksp_rtol=1e-2,
-                               ksp_basis="bf16")
+    # the preset carries the production levers itself (forcing term,
+    # bf16 basis, cap 24, classic cgs2 — the controller-path winner;
+    # BASELINE.md round-3 ledger) — use as-is
+    ncfg = case.newton_cfg
 
     tc_common = dict(dt_init=600.0, dt_max=2 * 86400.0,
                      grow_below=8, shrink_above=14)
@@ -85,12 +85,18 @@ def main():
         # hard steps — but the trajectory settles at dt 19.2 ks instead of
         # 38.4 ks, so the controller-driven horizon must confirm it.
         "fm-m24": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # orthogonalization A/B arm: force the low-synch cgs2g against the
+        # preset's cgs2 on the controller-driven path (cgs2g LOST here
+        # despite winning the harness ramp — BASELINE.md round-3 ledger)
+        "fm-cgs2g": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
         tc = TimeConfig(**{**tc_common, **variants[name]})
         nc = dataclasses.replace(ncfg, ksp_maxiter=24) if "m24" in name \
             else ncfg
+        if "cgs2g" in name:
+            nc = dataclasses.replace(nc, ksp_orth="cgs2g")
         sim = Simulator(model, data, precond="cptr", newton_cfg=nc,
                         pc_cfg=case.pc_cfg, time_cfg=tc)
         u0 = model.initial_state(data, dtype=jnp.float32)
