@@ -60,6 +60,9 @@ def main():
                    help="CPR/CPTR decoupling variant (ablations)")
     p.add_argument("--cycle", default=None, choices=[None, "v", "w", "k"],
                    help="multigrid cycle type")
+    p.add_argument("--balance", action="store_true",
+                   help="end-of-run material/energy balance audit "
+                        "(host-loop runs; measures solver-tolerance drift)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
 
@@ -167,6 +170,16 @@ def main():
         dt0 = dt0 or dt_saved
         print(f"# resuming from {args.resume}: t={t0:.4e}s step={step0}")
 
+    auditor = None
+    if args.balance:
+        from thermalporous_tpu.io import BalanceAuditor
+
+        if u0 is None:
+            u0 = case.model.initial_state(case.data)
+        # on --resume the audit window starts at the checkpoint state
+        auditor = BalanceAuditor(case.model, case.data, u0)
+        callbacks.append(auditor)
+
     def callback(step, t, u, rec):
         for cb in callbacks:
             cb(step, t, u, rec)
@@ -188,6 +201,11 @@ def main():
     print(f"# newton total {result.total_newton} ({result.total_newton/max(result.steps,1):.1f}/step), "
           f"fgmres total {result.total_ksp} ({result.total_ksp/n:.1f}/newton)")
     print(f"# throughput {case.model.grid.ncells * result.total_newton / result.wall_s:.3e} cell-updates/s")
+
+    if auditor is not None:
+        from thermalporous_tpu.io import format_balance
+
+        print(format_balance(auditor.report()))
 
     if case.well_masks:
         from thermalporous_tpu.physics import well_rates

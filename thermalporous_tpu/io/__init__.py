@@ -1,3 +1,4 @@
+from thermalporous_tpu.io.balance import BalanceAuditor, format_balance
 from thermalporous_tpu.io.checkpoint import (
     CheckpointManager,
     load_checkpoint,
@@ -7,6 +8,8 @@ from thermalporous_tpu.io.metrics import MetricsLogger
 from thermalporous_tpu.io.vti import PVDWriter, state_fields, write_vti
 
 __all__ = [
+    "BalanceAuditor",
+    "format_balance",
     "CheckpointManager",
     "load_checkpoint",
     "save_checkpoint",

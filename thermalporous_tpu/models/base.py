@@ -145,6 +145,23 @@ class ThermalModelBase:
         """
         raise NotImplementedError
 
+    # -- balance audit (io/balance.py) -------------------------------------
+    def in_place_totals(self, u, data: ProblemData) -> jax.Array:
+        """Total conserved content per equation row, shape (nc,).
+
+        Must mirror the accumulation densities of :meth:`cell_terms`
+        EXACTLY (same property correlations), so that the material-balance
+        audit closes to the Newton tolerance: summing the backward-Euler
+        residual over all cells telescopes the interior fluxes (no-flow
+        boundaries), leaving ΔM = Δt·Q + Δt·Σ residual.
+        """
+        raise NotImplementedError
+
+    def source_totals(self, u, data: ProblemData) -> jax.Array:
+        """Net well/heater source per equation row at state ``u``, (nc,)."""
+        q = self.well_sources(u, data.wells)
+        return q.reshape(self.nc, -1).sum(axis=1)
+
     # -- residual (hot path) -------------------------------------------------
     def residual(self, u: jax.Array, u_old: jax.Array, dt, data: ProblemData) -> jax.Array:
         """Backward-Euler residual, shape (nc, *grid.shape).

@@ -25,6 +25,8 @@ from thermalporous_tpu.physics.wells import WellFields
 
 class SinglePhaseModel(ThermalModelBase):
     nc = 2
+    # equation rows for telemetry/balance reporting (io/balance.py)
+    eq_labels = ("mass_kg", "energy_J")
 
     def well_sources(self, u, well: WellFields):
         """Per-cell source terms (nc, *shape), positive INTO the reservoir."""
@@ -62,6 +64,16 @@ class SinglePhaseModel(ThermalModelBase):
         acc_e = vol * (pp.energy_density_sp(p, T, phi) - pp.energy_density_sp(p0, T0, phi)) / dt
 
         return jnp.stack([acc_m, acc_e]) - self.well_sources(u, well)
+
+    def in_place_totals(self, u, data: ProblemData):
+        """(total fluid mass [kg], total thermal energy [J]) — the exact
+        integrals of the ``cell_terms`` accumulation densities."""
+        pp = self.pp
+        vol = self.grid.cell_volume
+        p, T = u[0], u[1]
+        m = vol * data.phi * pp.rho_w(p, T)
+        e = vol * pp.energy_density_sp(p, T, data.phi)
+        return jnp.stack([m.sum(), e.sum()])
 
     def face_terms(self, axis, u_l, u_r, tgeo, tcond):
         pp = self.pp

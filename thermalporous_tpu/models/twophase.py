@@ -32,6 +32,8 @@ from thermalporous_tpu.physics.wells import WellFields
 
 class TwoPhaseModel(ThermalModelBase):
     nc = 3
+    # equation rows for telemetry/balance reporting (io/balance.py)
+    eq_labels = ("water_kg", "energy_J", "oil_kg")
 
     def __init__(self, grid: Grid, pp: PhysicalParams, relperm: CoreyRelPerm | None = None,
                  s_init: float = 0.2):
@@ -92,6 +94,18 @@ class TwoPhaseModel(ThermalModelBase):
                        - pp.energy_density_tp(p0, T0, s0, phi)) / dt
 
         return jnp.stack([acc_w, acc_e, acc_o]) - self.well_sources(u, well)
+
+    def in_place_totals(self, u, data: ProblemData):
+        """(water mass [kg], thermal energy [J], oil mass [kg]) — the exact
+        integrals of the ``cell_terms`` accumulation densities, in the
+        equation-row order."""
+        pp = self.pp
+        vol = self.grid.cell_volume
+        p, T, s = u[0], u[1], u[2]
+        w = vol * data.phi * pp.rho_w(p, T) * s
+        o = vol * data.phi * pp.rho_o(p, T) * (1.0 - s)
+        e = vol * pp.energy_density_tp(p, T, s, data.phi)
+        return jnp.stack([w.sum(), e.sum(), o.sum()])
 
     def face_terms(self, axis, u_l, u_r, tgeo, tcond):
         pp = self.pp
