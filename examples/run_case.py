@@ -164,10 +164,11 @@ def main():
         callbacks.append(CheckpointManager(args.ckpt_dir, every=args.ckpt_every,
                                            name="ckpt"))
 
-    u0, dt0, t0, step0 = None, args.dt0, 0.0, 0
+    u0, dt0, t0, step0, dt_cap0 = None, args.dt0, 0.0, 0, None
     if args.resume:
-        u0, t0, dt_saved, step0, _ = load_checkpoint(args.resume)
+        u0, t0, dt_saved, step0, meta = load_checkpoint(args.resume)
         dt0 = dt0 or dt_saved
+        dt_cap0 = meta.get("dt_cap")  # failure-memory cap, when active
         print(f"# resuming from {args.resume}: t={t0:.4e}s step={step0}")
 
     auditor = None
@@ -194,6 +195,7 @@ def main():
         max_steps=args.max_steps,
         callback=callback if callbacks else None,
         verbose=not args.quiet,
+        dt_cap0=dt_cap0,
     )
 
     n = max(result.total_newton, 1)

@@ -243,3 +243,62 @@ def test_checkpoint_cadence_survives_block_final_step_drift(tmp_path):
     files = sorted(os.listdir(tmp_path))
     # first consistent record past each 4-step cadence point: 7 (>=4), 11 (>=7+4)
     assert files == ["ckpt_0000007.npz", "ckpt_0000011.npz"]
+
+
+def test_resume_preserves_failure_memory_cap(tmp_path):
+    """With TimeConfig.fail_frac active, a resumed run must continue the
+    failure-memory Δt cap: the checkpoint stores record.dt_cap and
+    Simulator.run(dt_cap0=...) seeds it, reproducing the uninterrupted
+    trajectory exactly.  Without the cap the resumed controller would
+    immediately re-attempt the known-failing Δt (growth× jump)."""
+    import numpy as np
+
+    from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+    from thermalporous_tpu.physics import PhysicalParams, Well
+    from thermalporous_tpu.solve import NewtonConfig, Simulator, TimeConfig
+
+    pp = PhysicalParams()
+    n = 12
+    g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
+    rng = np.random.default_rng(3)
+    kx = 2e-13 * np.exp(1.0 * rng.standard_normal(g.shape))
+    wells = [
+        Well(cells=((0, 0),), control="bhp", p_bh=3.8e7, T_inj=430.0),
+        Well(cells=((n - 1, n - 1),), control="bhp", p_bh=8.0e6),
+    ]
+    data = make_problem_data(g, pp, kx=kx, phi=0.2, wells=wells)
+    model = TwoPhaseModel(g, pp, s_init=0.25)
+    # max_iters=4 + aggressive 4x growth force a Newton failure mid-run,
+    # after which the 0.6 cap BINDS every subsequent step (dt == cap): a
+    # resume that drops it takes a visibly different trajectory.
+    ncfg = NewtonConfig(max_iters=4, rtol=1e-8)
+    tc = TimeConfig(dt_init=600.0, growth=4.0, dt_max=1e7, grow_below=5,
+                    fail_frac=0.6, fail_relax=1.1)
+    t_end = 1.2e6
+
+    sim = Simulator(model, data, precond="cptr", newton_cfg=ncfg, time_cfg=tc)
+    u_init = model.initial_state(data)
+    full = sim.run(t_end=t_end, u0=u_init)
+    assert any(r.retries > 0 for r in full.records), "scenario lost its failure"
+
+    # interrupt AFTER the failure established the cap, checkpoint, resume
+    mgr = CheckpointManager(str(tmp_path), every=1, keep=1)
+    part = sim.run(t_end=t_end, u0=u_init, max_steps=7, callback=mgr)
+    assert part.records[-1].dt_cap is not None, "cap not active at checkpoint"
+    u0, t0, dt0, step0, meta = load_checkpoint(mgr.latest())
+    assert meta["dt_cap"] == part.records[-1].dt_cap
+    resumed = sim.run(t_end=t_end, u0=u0, t0=t0, dt0=dt0, step0=step0,
+                      dt_cap0=meta["dt_cap"])
+
+    assert resumed.t == full.t
+    np.testing.assert_array_equal(np.asarray(resumed.u), np.asarray(full.u))
+    full_dts = [r.dt for r in full.records]
+    stitched = [r.dt for r in part.records] + [r.dt for r in resumed.records]
+    np.testing.assert_allclose(stitched, full_dts)
+
+    # negative control: dropping the cap (the old behavior) diverges —
+    # pins that this test actually exercises the threading
+    resumed_nocap = sim.run(t_end=t_end, u0=u0, t0=t0, dt0=dt0, step0=step0)
+    # the first step's dt comes from the checkpoint either way; without the
+    # cap the CONTROLLER then grows 4x past the wall instead of tracking it
+    assert resumed_nocap.records[0].next_dt != resumed.records[0].next_dt

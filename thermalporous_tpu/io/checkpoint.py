@@ -74,10 +74,14 @@ class CheckpointManager:
         if step - self._last_step < self.every:
             return
         path = os.path.join(self.directory, f"{self.name}_{step:07d}.npz")
-        # saving the controller's NEXT dt makes a resumed run continue the
-        # uninterrupted trajectory exactly
+        # saving the controller's NEXT dt (and the failure-memory cap, when
+        # active) makes a resumed run continue the uninterrupted trajectory
+        # exactly
         dt = record.next_dt or record.dt
-        save_checkpoint(path, u, t, dt, step)
+        meta = None
+        if getattr(record, "dt_cap", None) is not None:
+            meta = {"dt_cap": record.dt_cap}
+        save_checkpoint(path, u, t, dt, step, meta)
         self._last_step = step
         self._written.append(path)
         while len(self._written) > self.keep:

@@ -317,6 +317,11 @@ class StepRecord:
     residual_norm: float
     wall_s: float
     next_dt: float = 0.0  # controller's Δt for the FOLLOWING step (resume)
+    # failure-memory regrowth cap active AFTER this step (TimeConfig.
+    # fail_frac; None = no active cap).  Saved by CheckpointManager so a
+    # resumed run keeps the wall memory — without it a resume right after
+    # a failed probe would immediately re-attempt the known-failing Δt.
+    dt_cap: float | None = None
     # True when the ``u`` passed alongside this record is the state AT
     # ``t``.  False only for the intermediate records of a jitted
     # multi-step block (block_steps>1), whose states are never
@@ -384,7 +389,8 @@ class Simulator:
             return self._advance(u_old, dt, self.data)
         return self._advance_from(u_old, dt, self.data, u_guess)
 
-    def _run_blocked(self, t_end, u, dt, t, step0, max_steps, callback, verbose):
+    def _run_blocked(self, t_end, u, dt, t, step0, max_steps, callback,
+                     verbose, dt_cap0=None):
         """Block-dispatch run loop: ``tc.block_steps`` adaptive steps per
         host round trip (see ``make_block_step_fn``)."""
         tc = self.time_cfg
@@ -399,7 +405,8 @@ class Simulator:
         records: list[StepRecord] = []
         run_start = time.perf_counter()
         step_idx = step0
-        dt_cap = float("inf")  # failure-memory cap, threaded across blocks
+        # failure-memory cap, threaded across blocks (resume-seeded)
+        dt_cap = float("inf") if dt_cap0 is None else float(dt_cap0)
 
         while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
             blk_start = time.perf_counter()
@@ -436,6 +443,11 @@ class Simulator:
                     rec.t = acc
                     rec.next_dt = dt
                     acc -= rec.dt
+                # the block-final cap pairs with the block-final record
+                # (the only state-consistent, checkpointable one)
+                records[-1].dt_cap = (
+                    dt_cap if dt_cap != float("inf") else None
+                )
                 if verbose:
                     last = records[-1]
                     print(
@@ -488,23 +500,27 @@ class Simulator:
         max_steps: int = 100000,
         callback: Callable[[int, float, jax.Array, StepRecord], None] | None = None,
         verbose: bool = False,
+        dt_cap0: float | None = None,
     ) -> SimResult:
-        """Advance from (t0, u0) to t_end.  ``t0``/``step0`` support exact
-        resume from a checkpoint (state AND clock)."""
+        """Advance from (t0, u0) to t_end.  ``t0``/``step0``/``dt_cap0``
+        support exact resume from a checkpoint (state, clock AND the
+        failure-memory Δt cap)."""
         tc = self.time_cfg
         u = self.model.initial_state(self.data) if u0 is None else u0
         t = t0
         dt = tc.dt_init if dt0 is None else dt0
         if tc.block_steps > 1:
             return self._run_blocked(
-                t_end, u, dt, t, step0, max_steps, callback, verbose
+                t_end, u, dt, t, step0, max_steps, callback, verbose,
+                dt_cap0=dt_cap0,
             )
         records: list[StepRecord] = []
         run_start = time.perf_counter()
         step_idx = step0
         u_prev = None
         dt_prev = 0.0
-        dt_cap = float("inf")  # failure-memory regrowth cap (fail_frac)
+        # failure-memory regrowth cap (fail_frac), resume-seeded
+        dt_cap = float("inf") if dt_cap0 is None else float(dt_cap0)
 
         while t < t_end - 1e-12 * max(t_end, 1.0) and step_idx < max_steps:
             dt = min(dt, tc.dt_max, t_end - t)
@@ -551,6 +567,7 @@ class Simulator:
             # checkpoints capture the controller state for exact resume)
             if tc.fail_frac is not None and dt_cap != float("inf"):
                 dt_cap *= tc.fail_relax  # relax the wall memory per accept
+            rec.dt_cap = dt_cap if dt_cap != float("inf") else None
             if rec.newton_iters < tc.grow_below:
                 # dt_min floor: a failure just above dt_min can push the
                 # cap below the floor; without the max() the next step
