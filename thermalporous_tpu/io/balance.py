@@ -43,9 +43,8 @@ class BalanceAuditor:
         self.labels = tuple(
             getattr(model, "eq_labels", tuple(f"eq{i}" for i in range(model.nc)))
         )
-        self._fn = jax.jit(
-            lambda u: (model.in_place_totals(u, data), model.source_totals(u, data))
-        )
+        self._model = model
+        self.set_data(data)
         # ONE bulk transfer per call — under the axon tunnel every host
         # scalar fetch is a ~30 ms round trip (CLAUDE.md measurement notes)
         m0, _ = jax.device_get(self._fn(u0))
@@ -55,6 +54,15 @@ class BalanceAuditor:
         self.cum_abs = np.zeros_like(self.m0)
         self.steps = 0
         self.skipped = 0
+
+    def set_data(self, data):
+        """Rebind the problem data (``Simulator.run_schedule`` calls this at
+        every control-segment boundary so the source integral uses the
+        ACTIVE well/heater fields)."""
+        model = self._model
+        self._fn = jax.jit(
+            lambda u: (model.in_place_totals(u, data), model.source_totals(u, data))
+        )
 
     def __call__(self, step, t, u, rec):
         if not getattr(rec, "state_consistent", True):

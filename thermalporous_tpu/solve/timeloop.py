@@ -599,3 +599,77 @@ class Simulator:
             total_ksp=sum(r.ksp_iters for r in records),
             wall_s=time.perf_counter() - run_start,
         )
+
+    def run_schedule(
+        self,
+        schedule,
+        t_end: float,
+        u0: jax.Array | None = None,
+        dt0: float | None = None,
+        t0: float = 0.0,
+        step0: int = 0,
+        max_steps: int = 100000,
+        callback: Callable[[int, float, jax.Array, StepRecord], None] | None = None,
+        verbose: bool = False,
+    ) -> SimResult:
+        """Advance to ``t_end`` under piecewise-constant well/heater controls.
+
+        ``schedule`` is a sequence of ``(t_start, WellFields)`` pairs
+        (build each entry with ``physics.wells.build_well_fields``; the
+        first ``t_start`` must be ≤ ``t0``): segment *i*'s controls apply
+        on ``[t_i, t_{i+1})``.  The time loop lands a step EXACTLY on
+        every boundary (the usual ``t_end`` clamp), so controls switch at
+        their scheduled instant.  Well fields are jit *data*, not shapes —
+        every segment reuses the same compiled step, and the Δt
+        controller's state (current Δt AND the failure-memory cap)
+        threads across boundaries like an exact resume.
+
+        Callbacks that close over problem data (e.g. ``BalanceAuditor``)
+        are rebound per segment via their optional ``set_data(data)`` hook.
+
+        The reference has no control schedules (static constructor-arg
+        wells — SURVEY.md §2.7); this is the standard production-simulator
+        extension of that case layer.
+        """
+        segs = sorted(schedule, key=lambda s: s[0])
+        if not segs or segs[0][0] > t0:
+            raise ValueError(
+                f"schedule must start at/before t0={t0} (first segment at "
+                f"{segs[0][0] if segs else 'none'})"
+            )
+        u = self.model.initial_state(self.data) if u0 is None else u0
+        t, step, dt = t0, step0, (self.time_cfg.dt_init if dt0 is None else dt0)
+        dt_cap = None
+        records: list[StepRecord] = []
+        run_start = time.perf_counter()
+
+        for i, (ts, wf) in enumerate(segs):
+            te = segs[i + 1][0] if i + 1 < len(segs) else t_end
+            te = min(te, t_end)
+            if te <= t or step >= step0 + max_steps:
+                continue  # segment entirely before the window (resume)
+            self.data = dataclasses.replace(self.data, wells=wf)
+            if callback is not None and hasattr(callback, "set_data"):
+                callback.set_data(self.data)
+            res = self.run(
+                t_end=te, u0=u, dt0=dt, t0=t, step0=step,
+                max_steps=step0 + max_steps - step,
+                callback=callback, verbose=verbose, dt_cap0=dt_cap,
+            )
+            records.extend(res.records)
+            u, t, step = res.u, res.t, step + res.steps
+            if res.records:
+                dt = res.records[-1].next_dt or dt
+                dt_cap = res.records[-1].dt_cap
+            if t >= t_end - 1e-12 * max(t_end, 1.0):
+                break
+
+        return SimResult(
+            u=u,
+            t=t,
+            steps=len(records),
+            records=records,
+            total_newton=sum(r.newton_iters for r in records),
+            total_ksp=sum(r.ksp_iters for r in records),
+            wall_s=time.perf_counter() - run_start,
+        )
