@@ -611,6 +611,7 @@ class Simulator:
         max_steps: int = 100000,
         callback: Callable[[int, float, jax.Array, StepRecord], None] | None = None,
         verbose: bool = False,
+        dt_cap0: float | None = None,
     ) -> SimResult:
         """Advance to ``t_end`` under piecewise-constant well/heater controls.
 
@@ -639,21 +640,21 @@ class Simulator:
             )
         u = self.model.initial_state(self.data) if u0 is None else u0
         t, step, dt = t0, step0, (self.time_cfg.dt_init if dt0 is None else dt0)
-        dt_cap = None
+        dt_cap = dt_cap0  # resume-seeded failure-memory cap
         records: list[StepRecord] = []
         run_start = time.perf_counter()
 
         for i, (ts, wf) in enumerate(segs):
             te = segs[i + 1][0] if i + 1 < len(segs) else t_end
             te = min(te, t_end)
-            if te <= t or step >= step0 + max_steps:
+            if te <= t or step >= max_steps:
                 continue  # segment entirely before the window (resume)
             self.data = dataclasses.replace(self.data, wells=wf)
             if callback is not None and hasattr(callback, "set_data"):
                 callback.set_data(self.data)
+            # max_steps is an absolute step-index cap, exactly as in run()
             res = self.run(
-                t_end=te, u0=u, dt0=dt, t0=t, step0=step,
-                max_steps=step0 + max_steps - step,
+                t_end=te, u0=u, dt0=dt, t0=t, step0=step, max_steps=max_steps,
                 callback=callback, verbose=verbose, dt_cap0=dt_cap,
             )
             records.extend(res.records)

@@ -155,6 +155,22 @@ VARIANTS = {
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2, ksp_maxiter=32, ksp_orth="cgs2g"),
         dict(degree=4), False),
+    # smoothing-degree re-scan under the FINAL round-3 config (the round-2
+    # deg A/B predates forcing term + bf16 + cap 24 + cgs2g; the cap-24
+    # roofline makes the CPTR apply the top bound term, and degree scales
+    # it almost linearly)
+    "g3-deg4": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=4), False),
+    "g3-deg3": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=3), False),
+    "g3-deg5": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=5), False),
     # fused Pallas Chebyshev smoother under the FULL production config —
     # the roofline's CPTR-apply term is co-dominant at cap 24 + bf16
     "stencil-every-deg4-bf16-ksp2-m24-gmgpallas": (
