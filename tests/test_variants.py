@@ -455,3 +455,43 @@ def test_ksp_orth_gram_matches_oracle(ksp_orth):
     u, stats = sim.step(u, dts[0])
     assert bool(stats.converged), ksp_orth
     _compare_states(u, oracle_states[0])
+
+
+def test_batch_pt_matches_sequential_diagonal():
+    """batch_pt stacks the p/T hierarchies into ONE vmapped traversal.
+
+    The batched block-diagonal stage 1 computes the same two K-cycles as
+    the sequential triangular=False form, so a single preconditioner
+    application must agree to roundoff (cpr.py::CPRConfig.batch_pt).
+    """
+    import jax
+
+    from thermalporous_tpu.precond.cpr import cpr_apply, cpr_setup
+
+    model, data = _tp_case(n=6)
+    u = model.initial_state(data)
+    st = model.assemble_stencil(u, u, 3600.0, data)
+    r = model.residual(u, u, 3600.0, data)
+    seq = cpr_setup(st, CPRConfig(triangular=False))
+    bat = cpr_setup(st, CPRConfig(triangular=False, batch_pt=True))
+    assert bat.gmg_t is None
+    x_seq = np.asarray(cpr_apply(seq, r, CPRConfig(triangular=False)))
+    x_bat = np.asarray(
+        cpr_apply(bat, r, CPRConfig(triangular=False, batch_pt=True)))
+    np.testing.assert_allclose(x_bat, x_seq, rtol=1e-12, atol=0.0)
+
+    with pytest.raises(ValueError, match="batch_pt"):
+        cpr_setup(st, CPRConfig(triangular=True, batch_pt=True))
+
+
+def test_batch_pt_matches_oracle():
+    """Batched diagonal stage 1 is preconditioning only — same answers."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(model, data, precond="cptr",
+                    pc_cfg=CPRConfig(triangular=False, batch_pt=True),
+                    newton_cfg=TIGHT)
+    u, stats = sim.step(model.initial_state(data), dts[0])
+    assert bool(stats.converged)
+    _compare_states(u, oracle_states[0])

@@ -67,6 +67,17 @@ class CPRConfig:
     bgmg_coarse_cells: int = 256     # stage2="bgmg": coarsest-level size
     bgmg_cycles: int = 1             # stage2="bgmg": V-cycles per apply
     triangular: bool = True          # CPTR stage-1: triangular vs block-diagonal
+    # Batch the p and T hierarchies through ONE vmapped GMG traversal
+    # (requires triangular=False: the triangular form's T residual
+    # correction depends on e_p, so the two K-cycles are inherently
+    # sequential).  The adaptive schedule is planned once from the
+    # pressure block, so both hierarchies are pytree-congruent and stack
+    # leaf-wise; a batched traversal halves stage-1's op COUNT — the
+    # fine-level ops are bandwidth-bound (no byte savings) but the
+    # K-cycle's many coarse-level ops are latency-bound, where op count
+    # is the cost.  When set, ``CPRState.gmg_p`` holds the stacked (2,·)
+    # hierarchy and ``gmg_t`` is None.
+    batch_pt: bool = False
     # decoupling operator W ([P1] §4, [P2] §3):
     #   "qimpes" — Quasi-IMPES: eliminate only the last-unknown coupling of
     #              the other rows using the cell's diagonal block (DEFAULT,
@@ -231,6 +242,14 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
         att = dec.scalar(1, 1)
         gmg_t = gmg_setup(att, cfg.gmg)
         a_tp = dec.scalar(1, 0)
+        if cfg.batch_pt:
+            if cfg.triangular:
+                raise ValueError(
+                    "batch_pt requires triangular=False: the triangular "
+                    "T-residual correction depends on e_p, so the two "
+                    "hierarchies cannot be traversed together")
+            gmg_p = jax.tree.map(lambda *xs: jnp.stack(xs), gmg_p, gmg_t)
+            gmg_t = None
         if cfg.inner_iters > 0:
             pt = dec.block(slice(0, 2), slice(0, 2))
         if cfg.s_stage != "none" and stencil.nc >= 3:
@@ -308,6 +327,11 @@ def _s_smooth(a_ss: ScalarStencil, r_s: jax.Array, cfg: CPRConfig) -> jax.Array:
 
 def _stage1_pt(state: CPRState, r_pt: jax.Array, cfg: CPRConfig) -> jax.Array:
     """Block-triangular (or -diagonal) GMG application on the (p,T) system."""
+    if cfg.batch_pt:
+        # gmg_p holds the stacked (2,·) hierarchy (see CPRConfig.batch_pt);
+        # one vmapped traversal runs both block-diagonal K-cycles at once
+        return jax.vmap(lambda s, b: gmg_apply(s, b, cfg.gmg))(
+            state.gmg_p, r_pt)
     e_p = gmg_apply(state.gmg_p, r_pt[0], cfg.gmg)
     r_t = r_pt[1]
     if cfg.triangular:
