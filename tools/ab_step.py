@@ -171,6 +171,18 @@ VARIANTS = {
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
         dict(degree=5), False),
+    # stage-1 structure under the production levers: block-diagonal
+    # (sequential) and the batched single-traversal form — the CPTR
+    # apply is the top roofline bound term at cap 24, and batch_pt
+    # halves its op count at whatever iteration cost diagonal carries
+    "g3-deg4-diag": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=4), False),
+    "g3-deg4-batchpt": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=4), False),
     # fused Pallas Chebyshev smoother under the FULL production config —
     # the roofline's CPTR-apply term is co-dominant at cap 24 + bf16
     "stencil-every-deg4-bf16-ksp2-m24-gmgpallas": (
@@ -235,6 +247,10 @@ def run_variant(name, model, data, u0, nsteps):
         pc_kw.update(s_stage="rbgs", s_sweeps=2)
     if "zebra" in name:
         pc_kw.update(stage2="zebra", stage2_axis=1)
+    if name.endswith("-diag"):
+        pc_kw.update(triangular=False)
+    if name.endswith("-batchpt"):
+        pc_kw.update(triangular=False, batch_pt=True)
     if "pcbf16s2" in name:
         pc_kw.update(pc_dtype="bf16_s2")
     elif "pcbf16g" in name:
