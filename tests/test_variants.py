@@ -495,3 +495,37 @@ def test_batch_pt_matches_oracle():
     u, stats = sim.step(model.initial_state(data), dts[0])
     assert bool(stats.converged)
     _compare_states(u, oracle_states[0])
+
+
+def test_eisenstat_walker_matches_oracle():
+    """EW forcing adapts only the INNER tolerance — same converged states.
+
+    Newton gates on the true residual (newton.py::NewtonConfig.ksp_ew), so
+    ksp_ew may shift the per-iteration FGMRES counts but must converge to
+    the same answer as the fixed-tolerance solve; ksp_rtol is the floor η
+    is clipped to, so the final solves are as tight as the plain config's.
+    """
+    model, data = _tp_case(n=6)
+    dts = [3600.0, 7200.0]
+    oracle_states = oracle_run(model, data, dts)
+    cfg = dataclasses.replace(TIGHT, ksp_ew=True)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=cfg)
+    u = model.initial_state(data)
+    for dt, ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, ref)
+
+
+def test_eisenstat_walker_saves_inner_iterations():
+    """The loose early-forcing must reduce total FGMRES work vs solving
+    every inner system to the tight fixed tolerance (the point of EW)."""
+    model, data = _tp_case(n=8)
+    u0 = model.initial_state(data)
+    sim_fix = Simulator(model, data, precond="cptr", newton_cfg=TIGHT)
+    sim_ew = Simulator(model, data, precond="cptr",
+                       newton_cfg=dataclasses.replace(TIGHT, ksp_ew=True))
+    _, st_fix = sim_fix.step(u0, 43200.0)
+    _, st_ew = sim_ew.step(u0, 43200.0)
+    assert bool(st_fix.converged) and bool(st_ew.converged)
+    assert int(st_ew.ksp_iters) < int(st_fix.ksp_iters)

@@ -77,6 +77,12 @@ class CPRConfig:
     # K-cycle's many coarse-level ops are latency-bound, where op count
     # is the cost.  When set, ``CPRState.gmg_p`` holds the stacked (2,·)
     # hierarchy and ``gmg_t`` is None.
+    # MEASURED NEGATIVE (BASELINE.md round-3 (d)): slower per FGMRES
+    # iteration than the sequential diag form at 1024² (the leading batch
+    # axis pessimizes stencil layouts), and on the axon TPU at ~1M cells
+    # the in-step trajectory COLLAPSES (same miscompile family as the
+    # slice-view block() bug) while CPU at the same size and TPU at 512²
+    # bit-match diag.  Keep off production paths at scale.
     batch_pt: bool = False
     # decoupling operator W ([P1] §4, [P2] §3):
     #   "qimpes" — Quasi-IMPES: eliminate only the last-unknown coupling of

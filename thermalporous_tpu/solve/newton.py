@@ -34,6 +34,29 @@ class NewtonConfig:
     ksp_rtol: float = 1e-5        # PETSc KSP default
     ksp_atol: float = 0.0
     ksp_maxiter: int = 60
+    # Eisenstat–Walker adaptive forcing (PETSc SNES ``-snes_ksp_ew``,
+    # version 2 — the reference can flip this on any SNES-driven solve,
+    # SURVEY.md §2.13): the k-th linear solve's relative tolerance is
+    #   η_k = γ·(‖F_k‖/‖F_{k−1}‖)^α,   η_0 = ew_rtol0,
+    # safeguarded by η_k ← max(η_k, γ·η_{k−1}^α) whenever the previous
+    # forcing still "matters" (γ·η_{k−1}^α > ew_threshold), so the
+    # tolerance cannot collapse after one lucky iteration.  η is clipped
+    # to [ksp_rtol, ew_rtolmax]: ``ksp_rtol`` acts as the FLOOR — with
+    # ksp_basis="bf16" the basis' honest true-residual floor is ~4e-3
+    # (BASELINE.md), and EW must not request tolerances the storage
+    # cannot certify.  Newton still gates on the true residual norm, so
+    # the accepted answer is unchanged; only the inner work adapts.
+    # When material-balance scales are active the inner system is
+    # left-scaled by them so η, the contraction ratio, and the
+    # line-search norm all live in the same (scaled) norm — without
+    # this the loose early solves are not descent directions for the
+    # scaled norm and Newton line-search-fails (see body comment).
+    ksp_ew: bool = False
+    ew_rtol0: float = 0.3         # PETSc snes_ksp_ew_rtol0
+    ew_rtolmax: float = 0.9       # PETSc snes_ksp_ew_rtolmax
+    ew_gamma: float = 1.0         # PETSc snes_ksp_ew_gamma (version 2)
+    ew_alpha: float = 1.618033988749895   # (1+√5)/2, PETSc default
+    ew_threshold: float = 0.1     # PETSc snes_ksp_ew_threshold
     # FGMRES(r) restart cycles (None = one cycle of ksp_maxiter).  PETSc's
     # KSP default is restart 30; here it is also a bandwidth lever — the
     # CGS2 orthogonalization streams the full static basis every iteration,
@@ -223,6 +246,10 @@ def newton_solve(
     if recycle > 0 and cfg.ksp_restart is not None:
         raise ValueError("ksp_recycle is incompatible with ksp_restart")
 
+    ew = bool(cfg.ksp_ew)
+    # carry layout: (u, f, nrm, k, ksp, failed) [+ (U, umask)] [+ eta]
+    eta_idx = 6 + (2 if recycle > 0 else 0)
+
     def cond(carry):
         u, f, nrm, k, ksp, failed = carry[:6]
         go = jnp.logical_and(nrm > tol, k < cfg.max_iters)
@@ -232,6 +259,7 @@ def newton_solve(
         u, f, nrm, k, ksp, failed = carry[:6]
         if recycle > 0:
             U, umask = carry[6], carry[7]
+        rtol_k = carry[eta_idx] if ew else cfg.ksp_rtol
 
         if cfg.krylov_op in ("stencil", "stencil_pallas"):
             st = assemble(u)            # exact J; one assembly serves both
@@ -245,16 +273,37 @@ def newton_solve(
         else:
             matvec = jvp_at(u)
             pcs = frozen_pcs if cfg.pc_lag == "step" else pc_setup(assemble(u))
+        if ew and scale is not None:
+            # EW requires the inner tolerance to live in the SAME norm
+            # Newton gates (and line-searches) on.  FGMRES controls the
+            # UNSCALED L2 residual, but the material-balance scales vary
+            # over orders of magnitude, so an η-accurate-in-L2 step can
+            # concentrate its error on the small-scale rows and fail to be
+            # a descent direction for the scaled RMS norm (measured:
+            # 1-ksp-iteration solves Armijo-failing at 8.6e-3 scaled on
+            # the 8² two-phase case).  Fix: left-scale the linear system
+            # by the scales — FGMRES then enforces η on ‖(F+J·dx)/s‖₂ /
+            # ‖F/s‖₂, exactly the scaled-norm contraction the forcing
+            # theory assumes (the RMS 1/√N cancels in the ratio).  Right
+            # preconditioning is untouched: the PC still sees the
+            # unscaled residual.
+            mv_u = matvec
+            matvec = lambda v: mv_u(v) / scale
+            rhs = -(f / scale)
+            krylov_pc = lambda r: pc_apply(pcs, r * scale)
+        else:
+            rhs = -f
+            krylov_pc = lambda r: pc_apply(pcs, r)
         if recycle > 0:
             from thermalporous_tpu.solve.deflate import fgmres_dr
 
             result, U, umask = fgmres_dr(
                 matvec,
-                -f,
-                precond=lambda r: pc_apply(pcs, r),
+                rhs,
+                precond=krylov_pc,
                 U=U,
                 u_mask=umask,
-                rtol=cfg.ksp_rtol,
+                rtol=rtol_k,
                 atol=cfg.ksp_atol,
                 maxiter=cfg.ksp_maxiter,
                 basis_dtype=jnp.bfloat16 if cfg.ksp_basis == "bf16" else None,
@@ -266,9 +315,9 @@ def newton_solve(
         else:
             result = fgmres(
                 matvec,
-                -f,
-                precond=lambda r: pc_apply(pcs, r),
-                rtol=cfg.ksp_rtol,
+                rhs,
+                precond=krylov_pc,
+                rtol=rtol_k,
                 atol=cfg.ksp_atol,
                 maxiter=cfg.ksp_maxiter,
                 restart=cfg.ksp_restart,
@@ -322,6 +371,22 @@ def newton_solve(
         out = (u_new, f_new, n_new, k + 1, ksp + result.iters, failed_now)
         if recycle > 0:
             out = out + (U, umask)
+        if ew:
+            # Eisenstat–Walker version-2 update.  The contraction ratio is
+            # measured in the scaled RMS norm — the SAME norm the (now
+            # left-scaled) inner solve enforces η in and the line search
+            # gates on; norm consistency is what makes the forcing theory
+            # hold (see the left-scaling comment above).
+            # A failed step keeps η — the Δt controller aborts anyway.
+            eta = rtol_k
+            ratio = n_new / jnp.maximum(nrm, jnp.finfo(u.dtype).tiny)
+            eta_a = cfg.ew_gamma * ratio ** cfg.ew_alpha
+            eta_safe = cfg.ew_gamma * eta ** cfg.ew_alpha
+            eta_next = jnp.where(
+                eta_safe > cfg.ew_threshold, jnp.maximum(eta_a, eta_safe), eta_a
+            )
+            eta_next = jnp.clip(eta_next, cfg.ksp_rtol, cfg.ew_rtolmax)
+            out = out + (jnp.where(failed_now, eta, eta_next).astype(u.dtype),)
         return out
 
     carry = (u0, f0, nrm_start, jnp.asarray(0), jnp.asarray(0),
@@ -330,6 +395,9 @@ def newton_solve(
         from thermalporous_tpu.solve.deflate import empty_recycle
 
         carry = carry + empty_recycle(u0.shape, recycle, u0.dtype)
+    if ew:
+        eta0 = min(max(cfg.ew_rtol0, cfg.ksp_rtol), cfg.ew_rtolmax)
+        carry = carry + (jnp.asarray(eta0, dtype=u0.dtype),)
     final = jax.lax.while_loop(cond, body, carry)
     u, f, nrm, k, ksp, failed = final[:6]
 

@@ -175,6 +175,15 @@ VARIANTS = {
     # (sequential) and the batched single-traversal form — the CPTR
     # apply is the top roofline bound term at cap 24, and batch_pt
     # halves its op count at whatever iteration cost diagonal carries
+    # Eisenstat–Walker forcing (PETSc -snes_ksp_ew v2) on the production
+    # levers: per-Newton-iteration η from the true-residual contraction,
+    # floored at ksp_rtol (the bf16 basis' honest floor) — loose early
+    # solves on the hard doubling steps where maxed-out 24-direction
+    # solves at fixed 1e-2 may be over-solving the first iterations
+    "g3-deg4-ew": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g", ksp_ew=True),
+        dict(degree=4), False),
     "g3-deg4-diag": (
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),

@@ -110,6 +110,14 @@ def main():
             dict(pc_lag="every", ksp_maxiter=24, ds_max=0.2, max_iters=24,
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16"),
             dict(coarsen="adaptive", degree=4)),
+        # Eisenstat–Walker forcing (PETSc -snes_ksp_ew v2, newton.py
+        # ksp_ew) on the production preset: η adapts per Newton iteration
+        # from the true-residual contraction, floored at ksp_rtol
+        "every-adapt-rbgs-deg4-m24-ds02-nm-ksp2-bf16-ew": (
+            dict(pc_lag="every", ksp_maxiter=24, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
+                 ksp_ew=True),
+            dict(coarsen="adaptive", degree=4)),
         # low-synch Gram-matrix CGS2 on the production ramp (round-3
         # follow-up, see fgmres.orth_gram): "g2" = 2 basis reads/iter with
         # a FULL-PRECISION basis — same bytes as bf16+cgs2's 4 reads but
