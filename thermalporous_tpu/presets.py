@@ -194,7 +194,9 @@ def tp_spe10_full(seed: int = 2020) -> Case:
     """Full SPE10-size problem: 60×220×85 = 1.122M cells (3.37M dof),
     two-phase thermal — the reference papers' largest demonstrated problem
     ([P2], run there on O(10–100) MPI cores).  Runs on ONE TPU v5e chip in
-    f32 at ~2.6M cell-updates/s sustained across the Δt ramp.
+    f32 at ~21.9M cell-updates/s sustained (30,567× realtime) across the
+    Δt-doubling ramp and 67,392×/123,424× realtime on controller-driven
+    8/30-day horizons (round-3 final, BASELINE.md ledger).
 
     Solver preset (round-2 measured, tools/spe10_iters.py): rebuild the
     preconditioner every Newton iteration (the reference's behavior; the
@@ -277,9 +279,20 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         # FGMRES/Newton, fm-constant rescans don't recover it).  Ledger:
         # BASELINE.md round-3.  Flip to "cgs2g" for harness/fixed-dt
         # workloads; bench.py uses it.
+        # ksp_ew=True (round-3 measured, 2026-08-19): Eisenstat–Walker
+        # adaptive forcing (PETSc -snes_ksp_ew v2) on top of the 1e-2
+        # floor.  The fixed term over-solves the HARD ramp steps (16-22
+        # FGMRES/Newton at dt≥38.4ks) where EW's contraction-based η runs
+        # them at 3-6/N and still converges; Newton counts rise (the
+        # looser inner solves are absorbed by chop+nonmonotone) but each
+        # iteration is 3-5x cheaper.  Doubling ramp 30,567x vs 17,466x
+        # realtime (+75%); controller-driven 8-day horizon 67,392x vs
+        # 38,725x (+74%, 600 vs 1305 total KSP).  Ledger: BASELINE.md
+        # round-3.
         newton_cfg=NewtonConfig(atol=3e-5, ksp_rtol=1e-2, ksp_maxiter=24,
                                 max_iters=16, pc_lag="every", ds_max=0.2,
-                                ls_mode="nonmonotone", ksp_basis="bf16"),
+                                ls_mode="nonmonotone", ksp_basis="bf16",
+                                ksp_ew=True),
         pc_cfg=CPRConfig(
             stage2="rbgs",
             gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,

@@ -89,6 +89,16 @@ def main():
         # preset's cgs2 on the controller-driven path (cgs2g LOST here
         # despite winning the harness ramp — BASELINE.md round-3 ledger)
         "fm-cgs2g": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # Eisenstat–Walker forcing A/B (newton.py ksp_ew; left-scaled
+        # inner system): +75% on the harness-driven doubling ramp
+        # (30,567x vs 17,466x) AND +74% on this controller path (8-day
+        # 67,392x vs 38,725x, 600 vs 1305 total KSP) — the fixed 1e-2
+        # term over-solves the hard steps at 16-22 ksp/N where EW runs
+        # 3-6/N.  ADOPTED in tp_spe10_full (2026-08-19), so the preset
+        # arms above all run WITH EW now; "fm-noew" is the regression
+        # control that reproduces the pre-EW production behavior.
+        "fm-ew": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        "fm-noew": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -97,6 +107,10 @@ def main():
             else ncfg
         if "cgs2g" in name:
             nc = dataclasses.replace(nc, ksp_orth="cgs2g")
+        if name.endswith("-ew") and not name.endswith("-noew"):
+            nc = dataclasses.replace(nc, ksp_ew=True)
+        if name.endswith("-noew"):
+            nc = dataclasses.replace(nc, ksp_ew=False)
         sim = Simulator(model, data, precond="cptr", newton_cfg=nc,
                         pc_cfg=case.pc_cfg, time_cfg=tc)
         u0 = model.initial_state(data, dtype=jnp.float32)
