@@ -194,9 +194,10 @@ def tp_spe10_full(seed: int = 2020) -> Case:
     """Full SPE10-size problem: 60×220×85 = 1.122M cells (3.37M dof),
     two-phase thermal — the reference papers' largest demonstrated problem
     ([P2], run there on O(10–100) MPI cores).  Runs on ONE TPU v5e chip in
-    f32 at ~21.9M cell-updates/s sustained (30,567× realtime) across the
-    Δt-doubling ramp and 67,392×/123,424× realtime on controller-driven
-    8/30-day horizons (round-3 final, BASELINE.md ledger).
+    f32 at ~21.5M cell-updates/s sustained (34,770× realtime) across the
+    Δt-doubling ramp and 71,181×/127,820× realtime on controller-driven
+    8/30-day horizons (round-3 final: EW forcing + Krylov cap 16,
+    BASELINE.md ledger).
 
     Solver preset (round-2 measured, tools/spe10_iters.py): rebuild the
     preconditioner every Newton iteration (the reference's behavior; the
@@ -257,6 +258,15 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         # near-identical trajectory — there the controller keeps dt below
         # the wall and the win is pure basis streaming).  Revert to 40 if
         # tightening ksp_rtol.
+        # Cap rescan UNDER EW (2026-08-19, post-adoption): EW solves run
+        # 3-6 directions typically, so the static-cap streaming question
+        # re-opened once more.  Ramp harness: cap 12 35,179x/35,568x,
+        # cap 16 34,770x, cap 32 31,161x, cap 24 control 29,772x
+        # (+17-19% for 12/16); controller-driven 8-day horizon: cap 16
+        # 71,181x (best), cap 12 70,594x, cap 24 67,769x.  Cap 16 and 12
+        # are within noise of each other on the ramp; 16 wins the product
+        # (controller) path and keeps more direction headroom for the
+        # rare hard solve, so 16 is adopted.
         # ds_max + nonmonotone (round-3 measured): Appleyard chop with
         # nonmonotone acceptance — best time-to-solution on the doubling
         # ramp (7001x vs 6466x realtime), converges repeatedly at
@@ -289,7 +299,7 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         # realtime (+75%); controller-driven 8-day horizon 67,392x vs
         # 38,725x (+74%, 600 vs 1305 total KSP).  Ledger: BASELINE.md
         # round-3.
-        newton_cfg=NewtonConfig(atol=3e-5, ksp_rtol=1e-2, ksp_maxiter=24,
+        newton_cfg=NewtonConfig(atol=3e-5, ksp_rtol=1e-2, ksp_maxiter=16,
                                 max_iters=16, pc_lag="every", ds_max=0.2,
                                 ls_mode="nonmonotone", ksp_basis="bf16",
                                 ksp_ew=True),

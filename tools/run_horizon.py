@@ -53,9 +53,9 @@ def main():
         lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, data)
     ncells = model.grid.ncells
 
-    # the preset carries the production levers itself (forcing term,
-    # bf16 basis, cap 24, classic cgs2 — the controller-path winner;
-    # BASELINE.md round-3 ledger) — use as-is
+    # the preset carries the production levers itself (EW forcing over a
+    # 1e-2 floor, bf16 basis, cap 16, classic cgs2 — the controller-path
+    # winner; BASELINE.md round-3 ledger) — use as-is
     ncfg = case.newton_cfg
 
     tc_common = dict(dt_init=600.0, dt_max=2 * 86400.0,
@@ -99,6 +99,12 @@ def main():
         # control that reproduces the pre-EW production behavior.
         "fm-ew": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
         "fm-noew": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # Krylov-cap rescan under the adopted EW forcing (ramp harness:
+        # cap 12 35.2-35.6k x vs cap 24 29.8-30.6k x, +15-19% interleaved
+        # — EW solves typically take 3-6 directions, CGS2 still streams
+        # the full static cap's basis slots)
+        "fm-m12": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        "fm-m16": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -111,6 +117,10 @@ def main():
             nc = dataclasses.replace(nc, ksp_ew=True)
         if name.endswith("-noew"):
             nc = dataclasses.replace(nc, ksp_ew=False)
+        if "-m12" in name:
+            nc = dataclasses.replace(nc, ksp_maxiter=12)
+        if "-m16" in name:
+            nc = dataclasses.replace(nc, ksp_maxiter=16)
         sim = Simulator(model, data, precond="cptr", newton_cfg=nc,
                         pc_cfg=case.pc_cfg, time_cfg=tc)
         u0 = model.initial_state(data, dtype=jnp.float32)

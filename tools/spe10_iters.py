@@ -118,6 +118,24 @@ def main():
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
                  ksp_ew=True),
             dict(coarsen="adaptive", degree=4)),
+        # Krylov-cap rescan UNDER EW (post-adoption): EW solves run 3-6
+        # directions typically, so the static cap's CGS2 basis-slot
+        # streaming re-opens one more time at 16/12
+        "every-adapt-rbgs-deg4-m16-ds02-nm-ksp2-bf16-ew": (
+            dict(pc_lag="every", ksp_maxiter=16, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
+                 ksp_ew=True),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m12-ds02-nm-ksp2-bf16-ew": (
+            dict(pc_lag="every", ksp_maxiter=12, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
+                 ksp_ew=True),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m32-ds02-nm-ksp2-bf16-ew": (
+            dict(pc_lag="every", ksp_maxiter=32, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
+                 ksp_ew=True),
+            dict(coarsen="adaptive", degree=4)),
         # low-synch Gram-matrix CGS2 on the production ramp (round-3
         # follow-up, see fgmres.orth_gram): "g2" = 2 basis reads/iter with
         # a FULL-PRECISION basis — same bytes as bf16+cgs2's 4 reads but
@@ -183,6 +201,10 @@ def main():
 
     for name in names:
         n_over, g_over = variants[name]
+        # the preset adopted ksp_ew=True (2026-08-19); pin EW explicitly
+        # from the variant name so every historical variant keeps its
+        # original meaning (only "-ew" variants run the adaptive forcing)
+        n_over = {"ksp_ew": False, **n_over}
         ncfg = dataclasses.replace(case.newton_cfg, **n_over)
         pc_kw = dict(inner_iters=2 if "in2" in name else 0)
         if "rich2" in name:
