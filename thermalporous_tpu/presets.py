@@ -59,7 +59,13 @@ def sp_hot_injection_2d(n: int = 40) -> Case:
         model=SinglePhaseModel(g, pp),
         data=data,
         time_cfg=TimeConfig(dt_init=3600.0, dt_max=30 * 86400.0),
-        newton_cfg=NewtonConfig(),
+        # Eisenstat-Walker forcing (tools/ab_ew.py, TPU 2026-08-19,
+        # interleaved full-preset runs): EW trades ~2x FGMRES savings for
+        # cheap extra Newton iterations on every preset -- wall -19..28%
+        # (this case's row in the BASELINE.md round-3 ledger).  Final
+        # states differ at trajectory level only (the controller keys
+        # growth on Newton counts, so the accepted dt sequence shifts).
+        newton_cfg=NewtonConfig(ksp_ew=True),
         t_end=180 * 86400.0,
     )
 
@@ -89,7 +95,7 @@ def sp_spe10_layer_2d(layer: int = 0, seed: int = 2020) -> Case:
         # cap 32: the layer case solves in 6-12 FGMRES/Newton at the
         # PETSc-default ksp_rtol; CGS2 streams the full STATIC cap's basis
         # slots every iteration, so unused slots are pure HBM traffic
-        newton_cfg=NewtonConfig(ksp_maxiter=32),
+        newton_cfg=NewtonConfig(ksp_maxiter=32, ksp_ew=True),
         t_end=60 * 86400.0,
     )
 
@@ -126,7 +132,7 @@ def sp_geothermal_3d(nx: int = 64, ny: int = 64, nz: int = 32) -> Case:
         time_cfg=TimeConfig(dt_init=3600.0, dt_max=30 * 86400.0),
         # cap 32 (was 80): measured 7.3 FGMRES/Newton — see the cap note
         # in sp_spe10_layer_2d
-        newton_cfg=NewtonConfig(ksp_maxiter=32),
+        newton_cfg=NewtonConfig(ksp_maxiter=32, ksp_ew=True),
         t_end=365 * 86400.0,
     )
 
@@ -151,7 +157,7 @@ def tp_thermal_2d(n: int = 60) -> Case:
         time_cfg=TimeConfig(dt_init=600.0, dt_max=5 * 86400.0),
         # cap 32 (was 80): measured 5.9 FGMRES/Newton — see the cap note
         # in sp_spe10_layer_2d
-        newton_cfg=NewtonConfig(ksp_maxiter=32),
+        newton_cfg=NewtonConfig(ksp_maxiter=32, ksp_ew=True),
         t_end=90 * 86400.0,
     )
 
@@ -185,7 +191,8 @@ def tp_spe10_3d(nx: int = 60, ny: int = 110, nz: int = 16, seed: int = 2020) -> 
         # cap 32 (was 100): measured 14.0 FGMRES/Newton average; at cap
         # 100 the unused basis slots were ~40% of the whole step's HBM
         # traffic (roofline byte model, BASELINE.md)
-        newton_cfg=NewtonConfig(ksp_maxiter=32, max_iters=20),
+        newton_cfg=NewtonConfig(ksp_maxiter=32, max_iters=20,
+                                ksp_ew=True),
         t_end=30 * 86400.0,
     )
 

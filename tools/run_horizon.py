@@ -105,6 +105,13 @@ def main():
         # the full static cap's basis slots)
         "fm-m12": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
         "fm-m16": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # pc_lag rescan under the adopted EW forcing: the round-2 verdict
+        # (frozen per-step PC stalls FGMRES at the cap, 3.6x wall) predates
+        # EW — with ~8 Newton/step now, freezing the CPTR hierarchy at step
+        # start skips ~7 setups/step if the stale PC doesn't cost
+        # iterations/retries.  (Preset transfer is "constant", so the
+        # axon pc_lag="step"+weighted trap does not apply.)
+        "fm-pclag": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -121,6 +128,8 @@ def main():
             nc = dataclasses.replace(nc, ksp_maxiter=12)
         if "-m16" in name:
             nc = dataclasses.replace(nc, ksp_maxiter=16)
+        if "pclag" in name:
+            nc = dataclasses.replace(nc, pc_lag="step")
         sim = Simulator(model, data, precond="cptr", newton_cfg=nc,
                         pc_cfg=case.pc_cfg, time_cfg=tc)
         u0 = model.initial_state(data, dtype=jnp.float32)
