@@ -529,3 +529,53 @@ def test_eisenstat_walker_saves_inner_iterations():
     _, st_ew = sim_ew.step(u0, 43200.0)
     assert bool(st_fix.converged) and bool(st_ew.converged)
     assert int(st_ew.ksp_iters) < int(st_fix.ksp_iters)
+
+
+def test_gmg_t_asymmetric_matches_oracle():
+    """A cheap (V-cycle, deg-2, geometric) TEMPERATURE hierarchy is
+    preconditioning only — same converged states as the oracle, and the
+    adaptive pressure schedule still resolves when gmg_t plans its own.
+
+    Motivation: the flagship CPTR apply is latency-bound in the K-cycle's
+    deep-level visits ×2 hierarchies (BASELINE.md round-3 decomposition);
+    the decoupled T system is easy standalone, so it gets a V-cycle.
+    """
+    from thermalporous_tpu.precond import GMGConfig
+
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    pc = CPRConfig(
+        gmg=GMGConfig(coarsen="adaptive", cycle_type="k", degree=4),
+        gmg_t=GMGConfig(cycle_type="v", degree=2),
+    )
+    sim = Simulator(model, data, precond="cptr", pc_cfg=pc, newton_cfg=TIGHT)
+    assert sim.pc_cfg.gmg.level_factors is not None  # adaptive resolved
+    u = model.initial_state(data)
+    u, stats = sim.step(u, dts[0])
+    assert bool(stats.converged)
+    _compare_states(u, oracle_states[0])
+    # adaptive gmg_t plans from the T operator
+    pc2 = CPRConfig(
+        gmg=GMGConfig(cycle_type="k"),
+        gmg_t=GMGConfig(coarsen="adaptive", cycle_type="v"),
+    )
+    sim2 = Simulator(model, data, precond="cptr", pc_cfg=pc2,
+                     newton_cfg=TIGHT)
+    assert sim2.pc_cfg.gmg_t.level_factors is not None
+    u2, stats2 = sim2.step(model.initial_state(data), dts[0])
+    assert bool(stats2.converged)
+    _compare_states(u2, oracle_states[0])
+
+
+def test_gmg_t_rejects_batch_pt():
+    from thermalporous_tpu.precond import GMGConfig
+    from thermalporous_tpu.precond.cpr import cpr_setup
+
+    model, data = _tp_case(n=4)
+    u = model.initial_state(data)
+    st = model.assemble_stencil(u, u, jnp.asarray(600.0, u.dtype), data)
+    pc = CPRConfig(batch_pt=True, triangular=False,
+                   gmg_t=GMGConfig(cycle_type="v"))
+    with pytest.raises(ValueError, match="batch_pt requires gmg_t"):
+        cpr_setup(st, pc)

@@ -138,6 +138,19 @@ class CPRConfig:
     # rounding), and weighted-transfer weights.
     pc_dtype: str = "f32"
     gmg: GMGConfig = GMGConfig()
+    # Separate GMG configuration for the TEMPERATURE hierarchy (CPTR
+    # stage 1 only; None = use ``gmg`` for both).  Motivation (round-3
+    # flagship decomposition, BASELINE.md): the CPTR apply is ~6 ms at
+    # full-SPE10 scale — 6× its traffic bound — because the K-cycle's
+    # 2-recursive coarse solves visit deep (latency-bound) levels
+    # 2^(L−1) times, for BOTH hierarchies.  But the decoupled T system
+    # is diffusion-dominated and measured EASY standalone (8 FGMRES
+    # iterations where the full system needs ~97 — tools/diag_hard.py),
+    # so it does not need the pressure hierarchy's K-cycle robustness: a
+    # V-cycle / lower degree here removes about half the deep-level
+    # kernel storm.  Incompatible with ``batch_pt`` (stacked traversal
+    # requires congruent hierarchies).
+    gmg_t: GMGConfig | None = None
 
 
 def _cast_floats(dtype):
@@ -227,13 +240,26 @@ def resolve_adaptive_coarsening(
     :func:`plan_coarsening` on its pressure block, and return a config with
     the static schedule baked in.  Call once before jitting; no-op otherwise.
     """
-    if cfg.gmg.coarsen != "adaptive" or cfg.gmg.level_factors is not None:
+    gmg_todo = (cfg.gmg.coarsen == "adaptive"
+                and cfg.gmg.level_factors is None)
+    gmg_t_todo = (cfg.gmg_t is not None
+                  and cfg.gmg_t.coarsen == "adaptive"
+                  and cfg.gmg_t.level_factors is None)
+    if not (gmg_todo or gmg_t_todo):
         return cfg
     dec = stencil.scale_rows(_decoupling_weights(stencil, cfg))
-    schedule = plan_coarsening(dec.scalar(0, 0), cfg.gmg, theta=theta)
-    return dataclasses.replace(
-        cfg, gmg=dataclasses.replace(cfg.gmg, level_factors=schedule)
-    )
+    if gmg_todo:
+        schedule = plan_coarsening(dec.scalar(0, 0), cfg.gmg, theta=theta)
+        cfg = dataclasses.replace(
+            cfg, gmg=dataclasses.replace(cfg.gmg, level_factors=schedule))
+    if gmg_t_todo:
+        # the T hierarchy plans from ITS OWN decoupled operator (conduction
+        # anisotropy need not match the pressure block's)
+        schedule_t = plan_coarsening(dec.scalar(1, 1), cfg.gmg_t, theta=theta)
+        cfg = dataclasses.replace(
+            cfg,
+            gmg_t=dataclasses.replace(cfg.gmg_t, level_factors=schedule_t))
+    return cfg
 
 
 def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
@@ -246,7 +272,7 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
     a_sp = a_st = a_ss = None
     if cfg.variant == "cptr":
         att = dec.scalar(1, 1)
-        gmg_t = gmg_setup(att, cfg.gmg)
+        gmg_t = gmg_setup(att, cfg.gmg_t or cfg.gmg)
         a_tp = dec.scalar(1, 0)
         if cfg.batch_pt:
             if cfg.triangular:
@@ -254,6 +280,10 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
                     "batch_pt requires triangular=False: the triangular "
                     "T-residual correction depends on e_p, so the two "
                     "hierarchies cannot be traversed together")
+            if cfg.gmg_t is not None:
+                raise ValueError(
+                    "batch_pt requires gmg_t=None: the stacked traversal "
+                    "needs pytree-congruent p/T hierarchies")
             gmg_p = jax.tree.map(lambda *xs: jnp.stack(xs), gmg_p, gmg_t)
             gmg_t = None
         if cfg.inner_iters > 0:
@@ -342,7 +372,7 @@ def _stage1_pt(state: CPRState, r_pt: jax.Array, cfg: CPRConfig) -> jax.Array:
     r_t = r_pt[1]
     if cfg.triangular:
         r_t = r_t - state.a_tp.matvec(e_p)
-    e_t = gmg_apply(state.gmg_t, r_t, cfg.gmg)
+    e_t = gmg_apply(state.gmg_t, r_t, cfg.gmg_t or cfg.gmg)
     return jnp.stack([e_p, e_t])
 
 

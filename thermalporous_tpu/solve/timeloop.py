@@ -361,7 +361,11 @@ class Simulator:
         self.data = data
         self.newton_cfg = newton_cfg
         self.time_cfg = time_cfg
-        if pc_cfg is not None and pc_cfg.gmg.coarsen == "adaptive":
+        if pc_cfg is not None and (
+            pc_cfg.gmg.coarsen == "adaptive"
+            or (getattr(pc_cfg, "gmg_t", None) is not None
+                and pc_cfg.gmg_t.coarsen == "adaptive")
+        ):
             # bake the matrix-dependent coarsening schedule (host-side, once:
             # coupling ratios are geometry-driven, so any representative
             # state/Δt yields the same schedule — see plan_coarsening)

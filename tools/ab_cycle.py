@@ -103,13 +103,24 @@ def main():
         "kmin600k": dict(kcycle_min_cells=600000),
         "vcycle": dict(cycle_type="v"),
         "wcycle": dict(cycle_type="w"),
+        # asymmetric: cheap TEMPERATURE hierarchy (CPRConfig.gmg_t) — the
+        # decoupled T system is easy standalone (diag_hard: 8 iters)
+        "t-vcycle": dict(_gmg_t=dict(cycle_type="v")),
+        "t-vcycle-deg2": dict(_gmg_t=dict(cycle_type="v", degree=2)),
+        "t-vcyc-p-kmin8k": dict(kcycle_min_cells=8192,
+                                _gmg_t=dict(cycle_type="v", degree=2)),
     }
 
     for tag, over in variants.items():
         if only and not any(s in tag.lower() for s in only):
             continue
+        over = dict(over)
+        gmg_t_over = over.pop("_gmg_t", None)
+        gmg_t = None
+        if gmg_t_over is not None:
+            gmg_t = dataclasses.replace(base.gmg, **gmg_t_over)
         pc = dataclasses.replace(
-            base, gmg=dataclasses.replace(base.gmg, **over))
+            base, gmg=dataclasses.replace(base.gmg, **over), gmg_t=gmg_t)
 
         # marginal apply cost: slope of k CPTR applies inside one program
         # (st/f passed as traced args — big captured closures overflow the
