@@ -33,6 +33,32 @@ def test_decoupling_variants_match_oracle(decoupling):
     _compare_states(u, oracle_states[0])
 
 
+def test_asymmetric_t_hierarchy_matches_oracle():
+    """Independent (cheaper) GMG config on the temperature block is
+    preconditioning only — same converged answers (cpr.py::CPRConfig.gmg_t).
+
+    This is the flagship-adopted asymmetric CPTR stage 1: the decoupled
+    temperature system is near-Laplacian (8 standalone iterations vs the
+    pressure block's contrast-limited hierarchy), so a V-cycle/deg-2
+    hierarchy preconditions it as well as the pressure-grade K-cycle at
+    ~¾ the apply cost (BASELINE.md round-3 ledger, tools/ab_cycle.py).
+    """
+    from thermalporous_tpu.precond import GMGConfig
+
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    pc = CPRConfig(
+        gmg=GMGConfig(coarsen="adaptive", degree=4, max_coarse_cells=8),
+        gmg_t=GMGConfig(cycle_type="v", degree=2, max_coarse_cells=8),
+    )
+    sim = Simulator(model, data, precond="cptr", pc_cfg=pc, newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    u, stats = sim.step(u, dts[0])
+    assert bool(stats.converged)
+    _compare_states(u, oracle_states[0])
+
+
 @pytest.mark.parametrize("pc_dtype", ["bf16", "bf16_gmg", "bf16_s2"])
 def test_pc_dtype_bf16_matches_oracle(pc_dtype):
     """bf16 PC-coefficient storage is preconditioning only — same answers.

@@ -201,10 +201,10 @@ def tp_spe10_full(seed: int = 2020) -> Case:
     """Full SPE10-size problem: 60×220×85 = 1.122M cells (3.37M dof),
     two-phase thermal — the reference papers' largest demonstrated problem
     ([P2], run there on O(10–100) MPI cores).  Runs on ONE TPU v5e chip in
-    f32 at ~21.5M cell-updates/s sustained (34,770× realtime) across the
-    Δt-doubling ramp and 71,181×/127,820× realtime on controller-driven
-    8/30-day horizons (round-3 final: EW forcing + Krylov cap 16,
-    BASELINE.md ledger).
+    f32 at ~26M cell-updates/s sustained (40,236× realtime) across the
+    Δt-doubling ramp and 91,409×/161,835× realtime on controller-driven
+    8/30-day horizons (round-3 final: EW forcing + Krylov cap 16 +
+    asymmetric cheap-T stage 1, BASELINE.md ledger).
 
     Solver preset (round-2 measured, tools/spe10_iters.py): rebuild the
     preconditioner every Newton iteration (the reference's behavior; the
@@ -313,7 +313,28 @@ def tp_spe10_full(seed: int = 2020) -> Case:
         pc_cfg=CPRConfig(
             stage2="rbgs",
             gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
-                          coarsen="adaptive", degree=4),
+                          coarsen="adaptive", degree=4,
+                          kcycle_min_cells=8192),
+            # Asymmetric stage 1 (round-3 measured, 2026-08-20): the
+            # decoupled TEMPERATURE system is diffusion-dominated and easy
+            # (8 standalone FGMRES iterations vs the full system's ~97,
+            # tools/diag_hard.py), so it gets a V-cycle/deg-2 hierarchy
+            # instead of the pressure block's K-cycle/deg-4 — the CPTR
+            # apply is latency-bound in the deep levels (6 ms vs ~1 ms
+            # traffic bound, BASELINE.md flagship decomposition) and the
+            # K-cycle visits level L 2^(L-1) times for BOTH fields.
+            # Standalone: identical full-system iteration counts at
+            # 7.49 -> 5.84 ms/apply (tools/ab_cycle.py); doubling ramp
+            # +16% t_sim/wall (40,407x vs 34,848x); controller-driven
+            # 8-day horizon +23% (86,573x vs 70,696x, 509 vs 598 ksp).
+            # The pressure K-cycle additionally stops its CG(2) recursion
+            # below 8192 cells (kcycle_min_cells — plain V-descent there):
+            # the deep levels it would revisit 2^(L-1) times are pure
+            # kernel-launch latency at that size.  5.55 ms/apply
+            # standalone; horizon head-to-head 91,733x vs 88,018x for
+            # the cheap-T hierarchy alone (195N/494ksp vs 191/509).
+            gmg_t=GMGConfig(cycle_type="v", max_coarse_cells=1024,
+                            coarsen="adaptive", degree=2),
         ),
         t_end=30 * 86400.0,
     )
@@ -338,7 +359,9 @@ def tp_spe10_inner(seed: int = 2020) -> Case:
         case,
         name="tp_spe10_inner",
         description="FULL SPE10-size, [P2]-faithful inner-iteration CPTR",
-        pc_cfg=dataclasses.replace(case.pc_cfg, inner_iters=2),
+        # gmg_t=None: keep the historical symmetric-hierarchy configuration
+        # this preset's per-round regression numbers were measured at
+        pc_cfg=dataclasses.replace(case.pc_cfg, inner_iters=2, gmg_t=None),
     )
 
 

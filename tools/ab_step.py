@@ -188,6 +188,21 @@ VARIANTS = {
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
         dict(degree=4), False),
+    # asymmetric CPTR stage 1 (CPRConfig.gmg_t): cheap V-cycle/deg-2
+    # TEMPERATURE hierarchy — the flagship-measured lever (full-SPE10
+    # ramp +16% t_sim/wall at identical-or-better iteration counts;
+    # BASELINE.md round-3 ledger) probed on the 2D bench workload
+    "g3-deg4-tv": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=4), False),
+    # + pressure K-recursion floored at 16k cells (2D analog of the
+    # flagship's kcycle_min_cells=8192: the 4k/1k-cell deep levels are
+    # kernel-launch latency the CG(2) recursion revisits 16-32x)
+    "g3-deg4-tvk16": (
+        dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
+             ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
+        dict(degree=4, kcycle_min_cells=16384), False),
     "g3-deg4-batchpt": (
         dict(krylov_op="stencil", pc_lag="every", ksp_basis="bf16",
              ksp_rtol=1e-2, ksp_maxiter=24, ksp_orth="cgs2g"),
@@ -258,6 +273,10 @@ def run_variant(name, model, data, u0, nsteps):
         pc_kw.update(stage2="zebra", stage2_axis=1)
     if name.endswith("-diag"):
         pc_kw.update(triangular=False)
+    if "-tv" in name:  # asymmetric stage 1: cheap T hierarchy
+        pc_kw.update(gmg_t=GMGConfig(
+            **{**gkw, "cycle_type": "v", "degree": 2,
+               "kcycle_min_cells": 256}))
     if name.endswith("-batchpt"):
         pc_kw.update(triangular=False, batch_pt=True)
     if "pcbf16s2" in name:

@@ -112,6 +112,11 @@ def main():
         # iterations/retries.  (Preset transfer is "constant", so the
         # axon pc_lag="step"+weighted trap does not apply.)
         "fm-pclag": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # asymmetric CPTR stage 1 (cheap V/deg-2 TEMPERATURE hierarchy;
+        # ab_cycle.py: identical full-system iterations, 7.49 -> 5.84
+        # ms/apply; "tvk8" adds pressure kcycle_min_cells=8192, 5.55 ms)
+        "fm-tv": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        "fm-tvk8": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -130,8 +135,17 @@ def main():
             nc = dataclasses.replace(nc, ksp_maxiter=16)
         if "pclag" in name:
             nc = dataclasses.replace(nc, pc_lag="step")
+        pc_cfg = case.pc_cfg
+        if "-tv" in name:
+            gmg_p = case.pc_cfg.gmg
+            if "tvk8" in name:
+                gmg_p = dataclasses.replace(gmg_p, kcycle_min_cells=8192)
+            pc_cfg = dataclasses.replace(
+                case.pc_cfg, gmg=gmg_p,
+                gmg_t=dataclasses.replace(case.pc_cfg.gmg, cycle_type="v",
+                                          degree=2))
         sim = Simulator(model, data, precond="cptr", newton_cfg=nc,
-                        pc_cfg=case.pc_cfg, time_cfg=tc)
+                        pc_cfg=pc_cfg, time_cfg=tc)
         u0 = model.initial_state(data, dtype=jnp.float32)
         # compile + initial transient outside the timed window
         u0, st = sim.step(u0, 300.0)

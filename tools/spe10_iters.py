@@ -136,6 +136,20 @@ def main():
                  ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
                  ksp_ew=True),
             dict(coarsen="adaptive", degree=4)),
+        # Asymmetric CPTR stage 1 (CPRConfig.gmg_t): cheap V-cycle/deg-2
+        # TEMPERATURE hierarchy — tools/ab_cycle.py measured IDENTICAL
+        # full-system iterations (62@1e-2 / 67@1e-3) at 7.49 -> 5.84
+        # ms/apply; "tvk8" adds pressure kcycle_min_cells=8192 (5.55 ms)
+        "every-adapt-rbgs-deg4-m16-ds02-nm-ksp2-bf16-ew-tv": (
+            dict(pc_lag="every", ksp_maxiter=16, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
+                 ksp_ew=True),
+            dict(coarsen="adaptive", degree=4)),
+        "every-adapt-rbgs-deg4-m16-ds02-nm-ksp2-bf16-ew-tvk8": (
+            dict(pc_lag="every", ksp_maxiter=16, ds_max=0.2, max_iters=24,
+                 ls_mode="nonmonotone", ksp_rtol=1e-2, ksp_basis="bf16",
+                 ksp_ew=True),
+            dict(coarsen="adaptive", degree=4, kcycle_min_cells=8192)),
         # low-synch Gram-matrix CGS2 on the production ramp (round-3
         # follow-up, see fgmres.orth_gram): "g2" = 2 basis reads/iter with
         # a FULL-PRECISION basis — same bytes as bf16+cgs2's 4 reads but
@@ -229,6 +243,10 @@ def main():
         if "zebraz" in name:
             pc_kw.update(stage2="zebra", stage2_axis=2,
                          stage2_sweeps=2 if "zebraz2" in name else 1)
+        if "-tv" in name:  # asymmetric stage 1: cheap T hierarchy
+            pc_kw.update(gmg_t=GMGConfig(
+                **{**gmg, **g_over, "cycle_type": "v", "degree": 2,
+                   "kcycle_min_cells": 256}))
         pc_cfg = CPRConfig(gmg=GMGConfig(**{**gmg, **g_over}), **pc_kw)
         sim = Simulator(model, data32, precond="cptr", newton_cfg=ncfg,
                         pc_cfg=pc_cfg, time_cfg=case.time_cfg)
