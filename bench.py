@@ -100,9 +100,20 @@ def main():
                        ksp_basis="bf16", ksp_orth="cgs2g")
     # degree-4 Chebyshev smoothing: measured 47% better time-to-solution on
     # the hard end of the ramp (fewer Δt cutbacks AND less wall; see
-    # BASELINE.md round-2 A/B table) at no cost in the easy regime
+    # BASELINE.md round-2 A/B table) at no cost in the easy regime.
+    # Asymmetric cheap-T stage 1 (round-3, tools/ab_step.py g3-deg4-tv,
+    # interleaved ×2 on chip): the decoupled temperature hierarchy gets a
+    # V-cycle/deg-2 instead of the pressure block's K-cycle/deg-4 —
+    # IDENTICAL accepted trajectory (41 Newton both runs), slightly fewer
+    # FGMRES iterations (358 vs 369), and +14% cu/s AND t_sim/wall
+    # (25.9–26.1M vs 22.6–22.9M cu/s).  The 2D pressure-side
+    # kcycle_min_cells floor measured WORSE than cheap-T alone here
+    # (+20 ksp, 25.5M) — 2D hierarchies are shallow — so only the
+    # flagship 3D preset carries it.
     pc_cfg = CPRConfig(gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
-                                     degree=4))
+                                     degree=4),
+                       gmg_t=GMGConfig(cycle_type="v", max_coarse_cells=1024,
+                                       degree=2))
     step = jax.jit(make_step_fn(model, "cptr", cfg, pc_cfg))
 
     def do_step(u, dt):
