@@ -124,6 +124,70 @@ def test_buckley_leverett_front():
     assert s_num[0] > s_front
 
 
+def test_thermal_front_retardation():
+    """1D hot-water injection: the T front travels at u_D·ρ_w c_p,w / c_eff.
+
+    The classic thermal-recovery kinematics (energy balance with local
+    thermal equilibrium): with conduction off, c_eff ∂T/∂t +
+    ρ_w c_p,w u_D ∂T/∂x = 0, so the temperature front is retarded
+    relative to the fluid front by φ ρ_w c_p,w / c_eff (~1/3 here —
+    the rock matrix absorbs the injected heat).  Pins the enthalpy flux
+    and energy accumulation terms jointly; neither the conduction-decay
+    test (no flow) nor Buckley–Leverett (isothermal) covers them.
+    """
+    pp = dataclasses.replace(
+        PhysicalParams(),
+        beta_w=0.0, c_w=1e-12,  # constant density -> uniform Darcy flux
+        kappa_eff=1e-6,         # conduction off: pure advection kinematics
+        T_init=300.0,
+    )
+    n, length = 120, 120.0
+    phi = 0.2
+    area = 1.0  # dy * thickness
+    g = Grid(shape=(n, 1), spacing=(length / n, 1.0), thickness=1.0)
+
+    t_inj = 400.0
+    rho_w = float(pp.rho_w(pp.p_init, pp.T_init))
+    c_eff = (1 - phi) * pp.rho_c_rock + phi * rho_w * pp.cp_w
+
+    q_vol = 2.0e-6  # m³/s injected water
+    wells = [
+        Well(cells=((0, 0),), control="rate", rate=q_vol * rho_w, T_inj=t_inj),
+        Well(cells=((n - 1, 0),), control="bhp", p_bh=pp.p_init),
+    ]
+    data = make_problem_data(g, pp, kx=1e-12, phi=phi, wells=wells)
+    model = SinglePhaseModel(g, pp)
+
+    u_darcy = q_vol / area
+    v_thermal = u_darcy * rho_w * pp.cp_w / c_eff
+    t_end = 0.5 * length / v_thermal  # thermal front at mid-domain
+    x_front_theory = v_thermal * t_end
+
+    sim = Simulator(model, data, precond="cptr",
+                    newton_cfg=NewtonConfig(ksp_maxiter=100),
+                    time_cfg=TimeConfig(dt_init=t_end / 400, dt_max=t_end / 60,
+                                        growth=1.3))
+    res = sim.run(t_end=t_end, u0=model.initial_state(data))
+    t_num = np.asarray(res.u[1]).ravel()
+
+    # numerical front: where T crosses the contact midpoint
+    x = (np.arange(n) + 0.5) * (length / n)
+    below = np.where(t_num < 0.5 * (t_inj + pp.T_init))[0]
+    assert below.size, "thermal front left the domain"
+    x_front_num = x[below[0]]
+
+    assert x_front_theory < length
+    # the contact is linearly degenerate: upwinding smears it O(sqrt(steps)),
+    # but the midpoint crossing tracks the front; allow ~8% of the domain
+    assert abs(x_front_num - x_front_theory) < 0.08 * length, (
+        f"thermal front at {x_front_num:.1f} m, theory {x_front_theory:.1f} m"
+    )
+    # the fluid front has passed far ahead: injector-adjacent cells are at
+    # the injection temperature, outlet cells still at reservoir T
+    assert t_num[0] > t_inj - 2.0
+    assert abs(t_num[-1] - pp.T_init) < 2.0
+
+
 def test_gravity_segregation_equilibrium():
     """Closed 1D column, S=0.5: water (denser) settles to the bottom."""
     pp = dataclasses.replace(PhysicalParams(), T_init=350.0)
