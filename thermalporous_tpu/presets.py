@@ -133,6 +133,12 @@ def sp_geothermal_3d(nx: int = 64, ny: int = 64, nz: int = 32) -> Case:
         # cap 32 (was 80): measured 7.3 FGMRES/Newton — see the cap note
         # in sp_spe10_layer_2d
         newton_cfg=NewtonConfig(ksp_maxiter=32, ksp_ew=True),
+        # asymmetric cheap-T stage 1 + pressure K-recursion floor
+        # (tools/ab_tv_presets.py, blocked-loop interleaved ×2 on TPU,
+        # 2026-08-20): identical iteration counts (28 N / 58 ksp both),
+        # +3-5% cu/s (26.0-26.2M -> 26.9-27.6M)
+        pc_cfg=CPRConfig(gmg=GMGConfig(kcycle_min_cells=4096),
+                         gmg_t=GMGConfig(cycle_type="v")),
         t_end=365 * 86400.0,
     )
 
@@ -193,6 +199,12 @@ def tp_spe10_3d(nx: int = 60, ny: int = 110, nz: int = 16, seed: int = 2020) -> 
         # traffic (roofline byte model, BASELINE.md)
         newton_cfg=NewtonConfig(ksp_maxiter=32, max_iters=20,
                                 ksp_ew=True),
+        # asymmetric cheap-T stage 1 + pressure K-recursion floor
+        # (tools/ab_tv_presets.py, blocked-loop interleaved ×2 on TPU,
+        # 2026-08-20): identical iteration counts (31 N / 79 ksp both),
+        # +16-36% cu/s (23.1-26.6M -> 30.8-31.4M)
+        pc_cfg=CPRConfig(gmg=GMGConfig(kcycle_min_cells=4096),
+                         gmg_t=GMGConfig(cycle_type="v")),
         t_end=30 * 86400.0,
     )
 

@@ -9,14 +9,15 @@ regime the doubling harness exposed at dt≈76.8 ks (BASELINE.md).
 Usage: python tools/run_horizon.py [days=4] [--cpu] [--mid] [variants...]
 Variants: base, fm (fail memory), fm-gentle (growth 1.5), base-gentle
 
-CAVEAT: only ONE step program is compile-warmed before the timed window.
-Variants that introduce a SECOND program (fm-blk8's jitted multi-step
-block, fm-pred's guess-taking step) pay its multi-minute axon remote
-compile INSIDE the window — their measured walls (156.7 s / 106.7 s vs
-19.8 s same-trajectory baseline, 2026-08-18) are compile artifacts, not
-steady state.  Steady-state headroom for both is bounded by the ~40 ms
-dispatch floor × ~25 steps ≈ 5%, so neither has been worth a
-warm-run harness so far.
+CAVEAT: by default only ONE step program is compile-warmed before the
+timed window.  Variants that introduce a SECOND program (fm-blk8's
+jitted multi-step block, fm-pred's guess-taking step) pay its
+multi-minute axon remote compile INSIDE the window — their measured
+walls (156.7 s / 106.7 s vs 19.8 s same-trajectory baseline, 2026-08-18)
+are compile artifacts, not steady state.  Pass ``--warm`` to run each
+variant's full horizon once untimed first (steady-state measurement —
+matters now that the adopted preset's 8-day wall is ~7.6 s, of which
+~2.5 s is host relay dispatch the block amortizes).
 """
 
 from __future__ import annotations
@@ -34,6 +35,13 @@ if "--cpu" in sys.argv:
 MID = "--mid" in sys.argv
 if MID:
     sys.argv.remove("--mid")
+
+# --warm: run each variant's full horizon once UNtimed before the timed
+# window, so multi-program variants (block_steps>1) are measured
+# compile-warm — steady state, not the compile artifact.
+WARM = "--warm" in sys.argv
+if WARM:
+    sys.argv.remove("--warm")
 
 import jax.numpy as jnp
 
@@ -150,11 +158,17 @@ def main():
         # compile + initial transient outside the timed window
         u0, st = sim.step(u0, 300.0)
         assert bool(jax.device_get(st).converged)
+        if WARM:
+            # full untimed pass first: compiles every program the horizon
+            # touches (the jitted block for block_steps>1 — multi-minute
+            # remote compiles that otherwise land INSIDE the window and
+            # produced the compile-artifact walls in the module caveat)
+            sim.run(t_end=t_end, u0=u0, dt0=600.0, verbose=False)
         t0 = time.perf_counter()
         # verbose prints add a host fetch per step; keep them off for the
         # blocked variants whose whole point is dispatch amortization
         res = sim.run(t_end=t_end, u0=u0, dt0=600.0,
-                      verbose="blk" not in name)
+                      verbose="blk" not in name and not WARM)
         wall = time.perf_counter() - t0
         retries = sum(r.retries for r in res.records)
         cu = ncells * res.total_newton / wall
