@@ -66,6 +66,12 @@ def sp_hot_injection_2d(n: int = 40) -> Case:
         # states differ at trajectory level only (the controller keys
         # growth on Newton counts, so the accepted dt sequence shifts).
         newton_cfg=NewtonConfig(ksp_ew=True),
+        # asymmetric cheap-T stage 1 (tools/ab_tv_presets.py, blocked-loop
+        # interleaved ×2 on TPU, 2026-08-20): identical iteration counts
+        # (32 N / 62 ksp both), +13-18% cu/s (0.48-0.50M -> 0.56-0.59M).
+        # The other 2D presets measured noise-level ties and stay on the
+        # shared symmetric hierarchy (BASELINE.md round-3 ledger).
+        pc_cfg=CPRConfig(gmg_t=GMGConfig(cycle_type="v")),
         t_end=180 * 86400.0,
     )
 
