@@ -207,3 +207,70 @@ def test_gravity_segregation_equilibrium():
     assert (np.diff(s) >= -1e-6).all(), "saturation profile not monotone in depth"
     # mass conservation: closed domain, ~incompressible regime
     np.testing.assert_allclose(s.mean(), 0.5, atol=0.02)
+
+
+def test_theis_drawdown():
+    """Constant-rate producer in an infinite-acting 2D aquifer: Theis curve.
+
+    Single-phase slightly-compressible flow with uniform temperature reduces
+    to the radial diffusivity equation; the drawdown at radius r and time t
+    is the exponential-integral solution
+
+        Δp(r, t) = (q μ) / (4π k h) · W(u),   u = r² φ μ c_t / (4 k t)
+
+    (Theis 1935; W = scipy.special.exp1).  This pins the TPFA flux operator,
+    the linearized-compressibility accumulation term, AND the rate-controlled
+    well source in one go — the well-test analog of the reference's
+    injection cases (SURVEY.md §2.7), which have no analytic pressure check.
+    """
+    from scipy.special import exp1
+
+    pp = PhysicalParams()
+    n, dx, h = 101, 10.0, 10.0
+    k, phi = 1e-13, 0.2
+    g = Grid(shape=(n, n), spacing=(dx, dx), thickness=h)
+
+    mu = float(pp.mu_w(pp.T_init))
+    c_t = pp.c_w                      # porosity is constant (no rock compr.)
+    eta = k / (phi * mu * c_t)        # hydraulic diffusivity [m²/s]
+
+    q_mass = 5.0                      # [kg/s] produced
+    rho0 = float(pp.rho_w(pp.p_init, pp.T_init))
+    q_vol = q_mass / rho0             # Theis wants the volumetric rate
+
+    ic = n // 2
+    well = Well(cells=((ic, ic),), control="rate", rate=-q_mass, T_inj=None)
+    data = make_problem_data(g, pp, kx=k, phi=phi, wells=(well,))
+    model = SinglePhaseModel(g, pp)
+
+    sim = Simulator(model, data, precond="cptr",
+                    newton_cfg=NewtonConfig(rtol=1e-9, ksp_rtol=1e-8,
+                                            ksp_maxiter=120))
+
+    # grow Δt geometrically: resolves the early log(t) transient, and the
+    # investigation radius 2√(ηt) stays ≤ ~300 m — the 505 m no-flow
+    # boundary never matters (infinite-acting window)
+    u = model.initial_state(data)
+    t, dt = 0.0, 20.0
+    t_end = 1.0e4
+    while t < t_end:
+        dt = min(dt, t_end - t)
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        t += dt
+        dt *= 1.5
+
+    p_num = np.asarray(u[0])
+    xy = (np.arange(n) - ic) * dx     # cell-center offsets from the well
+
+    # observation cells along the +x row: outside the Peaceman cell's
+    # near-well region, inside the well-resolved investigation radius
+    for j_off in (4, 6, 9, 13):
+        r = abs(xy[ic + j_off])
+        uu = r * r * phi * mu * c_t / (4.0 * k * t_end)
+        dp_theory = q_vol * mu / (4.0 * math.pi * k * h) * exp1(uu)
+        dp_num = pp.p_init - p_num[ic + j_off, ic]
+        np.testing.assert_allclose(dp_num, dp_theory, rtol=0.05)
+
+    # radial symmetry of the discrete solution (x row vs y column)
+    np.testing.assert_allclose(p_num[ic + 6, ic], p_num[ic, ic + 6], rtol=1e-10)
