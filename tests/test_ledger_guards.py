@@ -1,0 +1,113 @@
+"""Guards derived from the measured axon miscompile ledger.
+
+BASELINE.md's round-3 ledger documents config combinations that silently
+compute wrong answers on the axon TPU backend at ~1M-cell scale.  These
+tests assert the statically-decidable combinations are REFUSED at
+step-construction/setup time (VERDICT r3 weak-#1 / next-round #2), that
+the production presets are unaffected, and that CPU runs never trip them.
+
+The suite runs on CPU, so the backend probe is monkeypatched to "axon".
+"""
+
+import dataclasses
+
+import pytest
+
+from thermalporous_tpu.precond import cpr
+from thermalporous_tpu.precond.cpr import CPRConfig, check_axon_ledger
+from thermalporous_tpu.precond.gmg import GMGConfig
+
+
+@pytest.fixture
+def axon_backend(monkeypatch):
+    monkeypatch.setattr(cpr, "_backend", lambda: "axon")
+
+
+FLAGSHIP_CELLS = 60 * 220 * 85  # full SPE10
+
+
+def test_step_weighted_refused_at_scale(axon_backend):
+    cfg = CPRConfig(gmg=GMGConfig(transfer="weighted"))
+    with pytest.raises(ValueError, match="all-NaN"):
+        check_axon_ledger(FLAGSHIP_CELLS, pc_lag="step", pc_cfg=cfg)
+
+
+def test_step_weighted_gmg_t_refused_at_scale(axon_backend):
+    # the T hierarchy alone composing the unsafe pair must also be caught
+    cfg = CPRConfig(gmg_t=GMGConfig(transfer="weighted"))
+    with pytest.raises(ValueError, match="all-NaN"):
+        check_axon_ledger(FLAGSHIP_CELLS, pc_lag="step", pc_cfg=cfg)
+
+
+def test_step_variational_refused_conservatively(axon_backend):
+    cfg = CPRConfig(gmg=GMGConfig(transfer="variational"))
+    with pytest.raises(ValueError, match="conservatively"):
+        check_axon_ledger(FLAGSHIP_CELLS, pc_lag="step", pc_cfg=cfg)
+
+
+def test_every_weighted_allowed(axon_backend):
+    # pc_lag="every" builds the hierarchy in-loop, which is measured exact
+    cfg = CPRConfig(gmg=GMGConfig(transfer="weighted"))
+    check_axon_ledger(FLAGSHIP_CELLS, pc_lag="every", pc_cfg=cfg)
+
+
+def test_step_weighted_allowed_below_scale(axon_backend):
+    cfg = CPRConfig(gmg=GMGConfig(transfer="weighted"))
+    check_axon_ledger(262_144, pc_lag="step", pc_cfg=cfg)  # 512^2: exact
+
+
+def test_step_weighted_allowed_on_cpu():
+    cfg = CPRConfig(gmg=GMGConfig(transfer="weighted"))
+    check_axon_ledger(FLAGSHIP_CELLS, pc_lag="step", pc_cfg=cfg)
+
+
+def test_stencil_pallas_warns_at_scale(axon_backend):
+    with pytest.warns(UserWarning, match="stencil_pallas"):
+        check_axon_ledger(FLAGSHIP_CELLS, krylov_op="stencil_pallas")
+
+
+def test_batch_pt_setup_refused_at_scale(axon_backend, rng):
+    import jax.numpy as jnp
+
+    from thermalporous_tpu.core.stencil import BlockStencil
+
+    shape = (1024, 1024)  # the measured collapse size (static shapes only;
+    # cpr_setup raises before touching array values, so zeros suffice)
+    nc = 2
+    z = jnp.zeros((nc, nc) + shape)
+    st = BlockStencil(
+        diag=z, upper=(z, z), lower=(z, z)
+    )
+    cfg = CPRConfig(batch_pt=True, triangular=False)
+    with pytest.raises(ValueError, match="COLLAPSE"):
+        cpr.cpr_setup(st, cfg)
+
+
+def test_production_presets_pass_the_guard(axon_backend):
+    # every named preset must construct its step guard-clean on axon
+    from thermalporous_tpu.presets import PRESETS
+
+    for name, factory in PRESETS.items():
+        case = factory()
+        import math
+
+        check_axon_ledger(
+            math.prod(case.model.grid.shape),
+            pc_lag=case.newton_cfg.pc_lag,
+            krylov_op=case.newton_cfg.krylov_op,
+            pc_cfg=case.pc_cfg,
+        )
+
+
+def test_make_step_fn_trips_the_guard(axon_backend):
+    # the guard is wired into the step factory itself
+    from thermalporous_tpu.presets import get_case
+    from thermalporous_tpu.solve.timeloop import make_step_fn
+
+    case = get_case("tp_spe10_full")
+    bad_newton = dataclasses.replace(case.newton_cfg, pc_lag="step")
+    bad_pc = dataclasses.replace(
+        case.pc_cfg, gmg=dataclasses.replace(case.pc_cfg.gmg,
+                                             transfer="weighted"))
+    with pytest.raises(ValueError, match="all-NaN"):
+        make_step_fn(case.model, case.precond, bad_newton, bad_pc)

@@ -26,6 +26,8 @@ VPU passes per Newton iteration, apply is a handful of stencil matvecs.
 from __future__ import annotations
 
 import dataclasses
+import math
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -153,6 +155,89 @@ class CPRConfig:
     gmg_t: GMGConfig | None = None
 
 
+# ------------------------------------------------- axon miscompile guards
+#
+# Four program shapes are MEASURED to silently compute wrong answers on the
+# axon TPU backend at ~1M-cell scale (BASELINE.md round-3 "axon miscompile
+# ledger"; each verified exact on CPU at the same size and on TPU at 512²).
+# Documentation alone proved one preset edit away from a silent
+# wrong-answer path (VERDICT r3 weak-#1), so the statically-decidable
+# combinations are refused here at step-construction/setup time.
+
+#: cell count at/above which the ledgered miscompiles were observed
+#: (collapse measured at 1024² = 1.05M cells; 512² = 262k verified exact)
+LEDGER_SCALE_CELLS = 500_000
+
+
+def _backend() -> str:
+    """Current default backend (separated for tests to monkeypatch)."""
+    return jax.default_backend()
+
+
+def _tpu_at_scale(n_cells: int) -> bool:
+    # the ledger entries were measured via the axon tunnel; the failures
+    # are XLA:TPU/Mosaic lowering artifacts, so a native "tpu" backend is
+    # conservatively included.  CPU (tests, oracles) is unaffected.
+    return n_cells >= LEDGER_SCALE_CELLS and _backend() in ("axon", "tpu")
+
+
+def check_axon_ledger(
+    n_cells: int,
+    pc_lag: str = "every",
+    krylov_op: str = "stencil",
+    pc_cfg: "CPRConfig | None" = None,
+) -> None:
+    """Refuse (or warn on) measured-unsafe config combinations on axon/TPU.
+
+    Called from ``solve.timeloop.make_step_fn`` once per step-function
+    construction — every argument is static, so this is free under jit.
+    Each branch cites its BASELINE.md round-3 ledger entry.
+    """
+    if not _tpu_at_scale(n_cells):
+        return
+    if pc_cfg is not None:
+        transfers = {pc_cfg.gmg.transfer} | (
+            {pc_cfg.gmg_t.transfer} if pc_cfg.gmg_t is not None else set()
+        )
+        if pc_lag == "step" and "weighted" in transfers:
+            raise ValueError(
+                "pc_lag='step' with transfer='weighted' on the axon/TPU "
+                "backend at >=0.5M cells assembles the weighted-transfer "
+                "GMG setup OUTSIDE the Newton while_loop, which is "
+                "measured to return an all-NaN hierarchy at full-SPE10 "
+                "scale (BASELINE.md round-3 axon miscompile ledger; "
+                "tools/diag_wp.py).  Use pc_lag='every' (in-loop setup is "
+                "exact) or transfer='constant'/'variational'."
+            )
+        if pc_lag == "step" and "variational" in transfers:
+            # shares the out-of-loop probing/setup program shape with the
+            # measured-NaN weighted pair; unmeasured at scale, so refuse
+            # conservatively rather than risk a silent wrong answer
+            raise ValueError(
+                "pc_lag='step' with transfer='variational' on the "
+                "axon/TPU backend at >=0.5M cells shares the "
+                "out-of-while_loop setup program shape with the "
+                "measured-NaN weighted transfer (BASELINE.md round-3 "
+                "ledger) and is conservatively refused.  Use "
+                "pc_lag='every'."
+            )
+    if krylov_op == "stencil_pallas":
+        # NOT an error: round-3 re-measurement found the production Newton
+        # step exact under this operator (BASELINE.md "stencil_pallas
+        # resolution") — but one combined-program probe shape still
+        # miscomputes on axon and the config is wall-negative on the
+        # doubling ramp, so its use at scale deserves a loud flag.
+        warnings.warn(
+            "krylov_op='stencil_pallas' on the axon/TPU backend at "
+            ">=0.5M cells: measured exact under the round-3 production "
+            "config but a combined matvec+CPTR probe shape miscomputes "
+            "on axon and wall time is neutral-to-worse (BASELINE.md "
+            "'stencil_pallas resolution').  Verify trajectories against "
+            "krylov_op='stencil'.",
+            stacklevel=3,
+        )
+
+
 def _cast_floats(dtype):
     """Tree-cast every floating leaf of a (possibly None) pytree."""
 
@@ -263,6 +348,15 @@ def resolve_adaptive_coarsening(
 
 
 def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
+    if cfg.batch_pt and _tpu_at_scale(math.prod(stencil.grid_shape)):
+        raise ValueError(
+            "batch_pt=True on the axon/TPU backend at >=0.5M cells: the "
+            "vmapped stacked-hierarchy traversal is measured to silently "
+            "COLLAPSE the in-step trajectory at 1024^2 (CPU same-size and "
+            "TPU 512^2 bit-match the sequential form) and is slower per "
+            "iteration where sane — BASELINE.md round-3 axon miscompile "
+            "ledger (d).  Use the default sequential p/T traversal."
+        )
     dinv = stencil.diag_inverse()
     w = _decoupling_weights(stencil, cfg, dinv=dinv)
     dec = stencil.scale_rows(w)         # W·A

@@ -15,6 +15,7 @@ shrink by ``cutback`` and retry on divergence, clip to hit ``t_end``.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 import numpy as np
 from typing import Callable
@@ -25,6 +26,7 @@ import jax.numpy as jnp
 from thermalporous_tpu.models.base import ProblemData, ThermalModelBase
 from thermalporous_tpu.precond.cpr import (
     CPRConfig,
+    check_axon_ledger,
     make_preconditioner,
     resolve_adaptive_coarsening,
 )
@@ -48,6 +50,14 @@ def make_step_fn(
     ``fuse=True`` routes the residual and its JVP through the fused Pallas
     kernels (2D models; transparent jnp fallback elsewhere).
     """
+    # refuse measured-unsafe config combinations on axon/TPU at scale
+    # (BASELINE.md round-3 miscompile ledger; VERDICT r3 weak-#1)
+    check_axon_ledger(
+        math.prod(model.grid.shape),
+        pc_lag=newton_cfg.pc_lag,
+        krylov_op=newton_cfg.krylov_op,
+        pc_cfg=pc_cfg if precond in ("cpr", "cptr") else None,
+    )
     pc_setup, pc_apply = make_preconditioner(precond, pc_cfg)
 
     if fuse:
