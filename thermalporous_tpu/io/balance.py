@@ -32,11 +32,16 @@ import numpy as np
 class BalanceAuditor:
     """``Simulator.run`` callback accumulating the balance audit.
 
-    Host-loop runs only: in blocked mode (``TimeConfig.block_steps>1``)
-    the intermediate states are never materialized
-    (``StepRecord.state_consistent`` is False there), so the per-step
-    source integral cannot be formed; such records are counted and the
-    report is flagged incomplete rather than silently wrong.
+    Works on BOTH loop flavors: host-loop records evaluate Δt·Q(uₙ) here
+    from the materialized state, while blocked-mode records
+    (``TimeConfig.block_steps>1``) carry the per-step source integral
+    computed IN-DEVICE by the block body (``StepRecord.src_dt`` /
+    ``BlockStats.src_dt``) — the intermediate states themselves are never
+    materialized, so the in-place totals refresh only at state-consistent
+    (block-final) records, which is all the telescoped closure needs.
+    Records with neither a state nor a source integral (none are produced
+    today) are counted and flag the report incomplete rather than
+    silently wrong.
     """
 
     def __init__(self, model, data, u0):
@@ -65,7 +70,20 @@ class BalanceAuditor:
         )
 
     def __call__(self, step, t, u, rec):
-        if not getattr(rec, "state_consistent", True):
+        src = getattr(rec, "src_dt", None)
+        consistent = getattr(rec, "state_consistent", True)
+        if src is not None:
+            # blocked mode: Δtₙ·Q(uₙ) was integrated in-device (Δt > 0, so
+            # |∫| per step equals Δt·|Q| — the same cum_abs as below)
+            src = np.asarray(src, dtype=np.float64)
+            self.cum += src
+            self.cum_abs += np.abs(src)
+            if consistent:
+                m, _ = jax.device_get(self._fn(u))
+                self.m_last = np.asarray(m, dtype=np.float64)
+            self.steps += 1
+            return
+        if not consistent:
             self.skipped += 1
             return
         m, q = jax.device_get(self._fn(u))

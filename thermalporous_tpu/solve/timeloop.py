@@ -130,6 +130,11 @@ class BlockStats:
     ok: jax.Array          # (n,) bool — step accepted
     norm0: jax.Array       # (n,) initial residual norm
     norm: jax.Array        # (n,) final residual norm
+    # (n, nc) per-step implicit-Euler source integral Δtₙ·Q(uₙ), computed
+    # IN-DEVICE on each accepted step so the material/energy balance audit
+    # closes in blocked mode too (io/balance.py; the intermediate states
+    # themselves are never materialized — VERDICT r3 weak-#3)
+    src_dt: jax.Array
 
 
 def make_block_step_fn(
@@ -176,7 +181,8 @@ def make_block_step_fn(
         zi = jnp.zeros((n_steps,), jnp.int32)
         zf = jnp.zeros((n_steps,), sdt)
         stats = BlockStats(newton=zi, ksp=zi, retries=zi, dt_used=zf,
-                           ok=jnp.zeros((n_steps,), bool), norm0=zf, norm=zf)
+                           ok=jnp.zeros((n_steps,), bool), norm0=zf, norm=zf,
+                           src_dt=jnp.zeros((n_steps, model.nc), sdt))
 
         def step_body(i, carry):
             u, dt, t, dead, cap, S = carry
@@ -233,6 +239,12 @@ def make_block_step_fn(
                 attempt_cond, attempt_body, init
             )
 
+            # implicit-Euler source integral Δt·Q at the ACCEPTED state
+            # (one cheap well/heater reduction per step; masked on reject —
+            # a rejected u_new may be non-finite, so mask q itself first)
+            q = model.source_totals(u_new, data).astype(sdt)
+            q = jnp.where(ok, jnp.where(jnp.isfinite(q), q, 0.0), 0.0)
+
             u = jnp.where(ok, u_new, u)
             t = t + jnp.where(ok, dt_used, 0.0)
             dead = jnp.logical_or(
@@ -265,6 +277,7 @@ def make_block_step_fn(
                 ok=S.ok.at[i].set(ok),
                 norm0=S.norm0.at[i].set(st.norm0.astype(sdt)),
                 norm=S.norm.at[i].set(st.norm.astype(sdt)),
+                src_dt=S.src_dt.at[i].set(jnp.where(ok, dt_used, 0.0) * q),
             )
             return (u, dt, t, dead, cap, S)
 
@@ -338,6 +351,11 @@ class StepRecord:
     # materialized — state-consuming callbacks (checkpoints, VTK) must
     # skip those or they would pair a later state with an earlier clock.
     state_consistent: bool = True
+    # per-equation implicit-Euler source integral Δtₙ·Q(uₙ) of THIS step,
+    # computed in-device by the blocked loop (BlockStats.src_dt) so the
+    # balance audit closes without materializing intermediate states;
+    # None on host-loop records (the auditor evaluates Q(uₙ) itself there)
+    src_dt: tuple | None = None
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -449,6 +467,7 @@ class Simulator:
                         residual_norm0=float(stats.norm0[i]),
                         residual_norm=float(stats.norm[i]),
                         wall_s=per_step_wall,
+                        src_dt=tuple(float(x) for x in stats.src_dt[i]),
                     )
                     records.append(rec)
                 # cumulative times: walk back from the block-final t
