@@ -196,3 +196,81 @@ def test_pallas_block_matvec_banded(rng, monkeypatch):
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-13 * scale)
+
+
+# ------------------------------------------------------- fused deep cycle
+
+
+def _random_hierarchy(shape, cycle_type, rng, degree=3):
+    """A GMG hierarchy on a heterogeneous SPD-ish stencil + the fused
+    subtree view of it from level 1 down."""
+    import dataclasses
+
+    from thermalporous_tpu.precond.gmg import (
+        GMGConfig,
+        _coarse_correction,
+        gmg_setup,
+    )
+
+    k = jnp.asarray(np.exp(rng.standard_normal(shape)))
+    st = poisson_stencil(shape, k=k, shift=0.3)
+    cfg = GMGConfig(cycle_type=cycle_type, degree=degree,
+                    max_coarse_cells=64, kcycle_min_cells=128)
+    state = gmg_setup(st, cfg)
+    b = jnp.asarray(rng.standard_normal(state.stencils[1].grid_shape))
+    ref = _coarse_correction(state, 1, b, cfg)
+    return state, cfg, b, ref
+
+
+@pytest.mark.parametrize("shape,cycle_type", [
+    ((24, 44, 10), "k"), ((24, 44, 10), "v"), ((24, 44, 10), "w"),
+    ((33, 17), "k"),
+])
+def test_deep_cycle_kernel_matches_recursion(shape, cycle_type, rng):
+    """The fused deep-cycle Pallas kernel (interpret mode) reproduces the
+    jnp multigrid recursion — K/V/W cycles, ragged 3D and 2D shapes."""
+    from thermalporous_tpu.kernels.deep_cycle import deep_correction
+
+    state, cfg, b, ref = _random_hierarchy(shape, cycle_type, rng)
+    subtree = state.stencils[1:]
+    factors = tuple(
+        tuple(2 if c < f else 1 for f, c in zip(a.grid_shape, bb.grid_shape))
+        for a, bb in zip(subtree[:-1], subtree[1:]))
+    out = deep_correction(
+        subtree, state.lam_max[1:], state.coarse_inv, b, factors,
+        degree=cfg.degree, lam_min_frac=cfg.lam_min_frac,
+        cycle_type=cycle_type, kcycle_min_cells=cfg.kcycle_min_cells,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_deep_cycle_integration_fuse_below(rng):
+    """gmg_apply with fuse_below routes through the fused math (the CPU
+    fallback path — identical code to the kernel body) and matches the
+    unfused recursion; eligibility degrades transparently."""
+    import dataclasses
+
+    from thermalporous_tpu.precond.gmg import GMGConfig, gmg_apply, gmg_setup
+
+    shape = (24, 44, 10)
+    k = jnp.asarray(np.exp(rng.standard_normal(shape)))
+    st = poisson_stencil(shape, k=k, shift=0.3)
+    cfg = GMGConfig(cycle_type="k", degree=3, max_coarse_cells=64,
+                    kcycle_min_cells=128)
+    state = gmg_setup(st, cfg)
+    b = jnp.asarray(rng.standard_normal(shape))
+    ref = gmg_apply(state, b, cfg)
+    fused_cfg = dataclasses.replace(cfg, fuse_below=10**9)
+    out = gmg_apply(state, b, fused_cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-13)
+    # non-chebyshev smoother: eligibility check turns the fusion off (the
+    # result must equal the rbgs recursion, not raise or drift)
+    cfg_rb = dataclasses.replace(cfg, smoother="rbgs")
+    state_rb = gmg_setup(st, cfg_rb)
+    ref_rb = gmg_apply(state_rb, b, cfg_rb)
+    out_rb = gmg_apply(state_rb, b,
+                       dataclasses.replace(cfg_rb, fuse_below=10**9))
+    np.testing.assert_allclose(np.asarray(out_rb), np.asarray(ref_rb),
+                               rtol=1e-12)

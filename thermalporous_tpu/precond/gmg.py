@@ -64,6 +64,17 @@ class GMGConfig:
     # fuse smoother/matvec into Pallas kernels (TPU only; whole-level-in-VMEM
     # with automatic fallback for oversized levels)
     use_pallas: bool = False
+    # Fused deep-cycle kernel (kernels/deep_cycle.py): once the recursion
+    # reaches a level with at most this many cells — and the remaining
+    # subtree (stencils + dense coarse inverse) fits VMEM — run the ENTIRE
+    # correction below as ONE Pallas launch instead of hundreds of
+    # µs-scale kernels.  This attacks the measured deep-level launch storm
+    # (the K-cycle visits level L 2^(L−1) times; ~6 ms/apply against a
+    # ~1 ms traffic bound at flagship scale — BASELINE.md round-3 flagship
+    # decomposition).  0 = off.  Single-chip only (inert under ``mesh``),
+    # chebyshev smoothing + constant transfer only; other configurations
+    # fall back to the unfused recursion transparently.
+    fuse_below: int = 0
     # semicoarsening: never coarsen the LAST grid axis (3D z) while other
     # axes remain coarsenable — the classic fix for strong vertical coupling
     # from thin, high-transmissibility layers (SPE10: dz ≈ dx/10)
@@ -421,6 +432,46 @@ def _smooth(st, lam, b, x, cfg: GMGConfig):
     return weighted_jacobi(st, b, x, sweeps=cfg.degree, omega=cfg.jacobi_omega)
 
 
+def _fusable(state: GMGState, level: int, cfg: GMGConfig) -> bool:
+    """Static eligibility of the fused deep-cycle kernel at ``level``."""
+    if cfg.fuse_below <= 0 or cfg.mesh is not None:
+        return False
+    if cfg.smoother != "chebyshev" or state.transfers:
+        return False
+    if math.prod(state.stencils[level].grid_shape) > cfg.fuse_below:
+        return False
+    subtree = state.stencils[level:]
+    if any(_is_wide(s) for s in subtree):
+        return False
+    from thermalporous_tpu.kernels.deep_cycle import subtree_vmem_bytes
+
+    return subtree_vmem_bytes(subtree, state.coarse_inv) <= 12 * 2**20
+
+
+def _fused_correction(state: GMGState, level: int, rc: jax.Array,
+                      cfg: GMGConfig) -> jax.Array:
+    """One-launch fused subtree correction (kernels/deep_cycle.py)."""
+    from thermalporous_tpu.kernels.deep_cycle import deep_correction
+
+    subtree = state.stencils[level:]
+    factors = []
+    for fine, coarse in zip(subtree[:-1], subtree[1:]):
+        factors.append(tuple(
+            2 if c < f else 1
+            for f, c in zip(fine.grid_shape, coarse.grid_shape)))
+    return deep_correction(
+        subtree,
+        state.lam_max[level:],
+        state.coarse_inv,
+        rc,
+        tuple(factors),
+        degree=cfg.degree,
+        lam_min_frac=cfg.lam_min_frac,
+        cycle_type=cfg.cycle_type,
+        kcycle_min_cells=cfg.kcycle_min_cells,
+    )
+
+
 def _coarse_correction(state: GMGState, level: int, rc: jax.Array, cfg: GMGConfig):
     """Approximate A_{level}⁻¹ rc according to the cycle type.
 
@@ -429,7 +480,13 @@ def _coarse_correction(state: GMGState, level: int, rc: jax.Array, cfg: GMGConfi
     - "k": Notay-style K-cycle — two recursive cycles combined by a 2-step
       flexible-CG update, which keeps multigrid robust when the cycle is a
       weak contraction (the SPE10-contrast regime; SURVEY.md §7 hard part #1).
+
+    When the remaining subtree fits VMEM (``cfg.fuse_below``), the whole
+    correction — including this level's cycle-type logic — runs as one
+    fused Pallas launch instead (same math; see kernels/deep_cycle.py).
     """
+    if _fusable(state, level, cfg):
+        return _fused_correction(state, level, rc, cfg)
     e1 = _v_cycle(state, level, rc, cfg)
     if (
         cfg.cycle_type == "v"

@@ -96,6 +96,9 @@ def main():
           f" {'it@1e-3':>8s} {'ms@1e-3':>8s}")
 
     variants = {
+        # round-3 variants built gmg_t from the PRESSURE schedule (legacy
+        # behavior preserved via _gmg_t); round-4 "keep_t" variants retain
+        # the preset's own (separately-planned) production gmg_t instead
         "prod (k, kmin256)": {},
         "kmin2k": dict(kcycle_min_cells=2048),
         "kmin8k": dict(kcycle_min_cells=8192),
@@ -109,16 +112,31 @@ def main():
         "t-vcycle-deg2": dict(_gmg_t=dict(cycle_type="v", degree=2)),
         "t-vcyc-p-kmin8k": dict(kcycle_min_cells=8192,
                                 _gmg_t=dict(cycle_type="v", degree=2)),
+        # round-4: shallower hierarchies — a bigger dense coarse solve
+        # trades the deepest (pure-launch-latency) levels for one small
+        # MXU matmul; _keep_t retains the production asymmetric gmg_t
+        "r4prod": dict(_keep_t=True),
+        "mcc2k": dict(max_coarse_cells=2048, _keep_t=True),
+        "mcc4k": dict(max_coarse_cells=4096, _keep_t=True),
+        "mcc4k-t4k": dict(max_coarse_cells=4096, _keep_t=True,
+                          _gmg_t=dict(max_coarse_cells=4096)),
+        "mcc4k-kmin32k": dict(max_coarse_cells=4096, kcycle_min_cells=32768,
+                              _keep_t=True),
+        "kmin32k": dict(kcycle_min_cells=32768, _keep_t=True),
     }
 
     for tag, over in variants.items():
         if only and not any(s in tag.lower() for s in only):
             continue
         over = dict(over)
+        keep_t = over.pop("_keep_t", False)
         gmg_t_over = over.pop("_gmg_t", None)
-        gmg_t = None
+        gmg_t = base.gmg_t if keep_t else None
         if gmg_t_over is not None:
-            gmg_t = dataclasses.replace(base.gmg, **gmg_t_over)
+            # with _keep_t: tweak the production gmg_t; legacy variants
+            # (no _keep_t) build gmg_t from the pressure schedule
+            gmg_t = dataclasses.replace(
+                base.gmg_t if keep_t else base.gmg, **gmg_t_over)
         pc = dataclasses.replace(
             base, gmg=dataclasses.replace(base.gmg, **over), gmg_t=gmg_t)
 
