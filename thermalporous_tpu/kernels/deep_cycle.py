@@ -49,12 +49,15 @@ from thermalporous_tpu.kernels.stencil_pallas import (
 # ---------------------------------------------------------------- transfers
 #
 # Constant-transfer Galerkin pair on factor-2 axes (precond.gmg._blocksum /
-# _prolong semantics, ragged tails included).  Implemented with
-# slice+concatenate shifts and iota masks only — the forms Mosaic lowers
-# exactly on axon (CLAUDE.md ledger: strided slices and gathers miscompile
-# at scale; leading-axis reshapes are fine but sublane-axis reshapes are
-# not portable).  The price is that the pairwise sum runs at fine-level
-# size — irrelevant here, the arrays are VMEM-resident and tiny.
+# _prolong semantics, ragged tails included), in the one form Mosaic on
+# axon lowers EXACTLY on every axis (probed 2026-08-20, /tmp/probe_mosaic*;
+# maxerr 0.0): slice+concatenate along the SAME axis.  Everything else
+# fails or is unsafe: strided slices and gathers miscompile at scale
+# (CLAUDE.md ledger), reshapes hit "unsupported shape cast", concatenating
+# pieces sliced along a DIFFERENT tiled dim hits "offset mismatch on
+# non-concat dimension", and leading/batched dot_generals either fail or
+# (without precision=HIGHEST) round through bf16.  The unrolled piece
+# count is the coarse axis size — tiny at the depths this kernel runs.
 
 
 def _shift_m_k(v, axis, k=1):
@@ -66,83 +69,111 @@ def _shift_m_k(v, axis, k=1):
 
 
 def _blocksum_pairwise(x, factors):
-    """Galerkin summation restriction == gmg._blocksum, Mosaic-safe form.
-
-    Per factor-2 axis: pair-sum x[2k] + x[2k+1] (ragged tail keeps its
-    lone entry), then COMPACT even positions to the front.  Compaction is
-    a contraction with a 0/1 selection matrix: on the last axis a plain
-    (n, nc) matmul; on leading axes via dot_general with the selection
-    matrix on the LEFT so the output axis order is preserved (no
-    transposes).  Sums involve ≤2 nonzero terms so the result is
-    bit-identical to the reshape-based `_blocksum`.
-    """
-    dim = x.ndim
-    for axis in range(dim):
+    """Galerkin summation restriction == gmg._blocksum (bit-exact: sums of
+    ≤2 terms), per factor-2 axis: pair-sum then same-axis slice+concat
+    compaction of the even positions."""
+    for axis in range(x.ndim):
         if factors[axis] == 1:
             continue
         n = x.shape[axis]
         m = -(-n // 2)
         pair = x + _shift_m_k(x, axis, 1)  # x[i] + x[i+1] at i
-        # selection S (m, n): S[k, i] = 1 iff i == 2k  -> picks pair[2k]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
-        sel = (cols == 2 * rows).astype(x.dtype)
-        if axis == dim - 1:
-            # (..., n) @ (n, m)
-            x = jax.lax.dot_general(
-                pair, sel, (((dim - 1,), (1,)), ((), ())),
-                preferred_element_type=x.dtype)
-        elif axis == 0:
-            # (m, n) x (n, ...) -> (m, ...)
-            x = jax.lax.dot_general(
-                sel, pair, (((1,), (0,)), ((), ())),
-                preferred_element_type=x.dtype)
-        else:
-            # middle axis: batch the leading axes, contract with sel on
-            # the left: lhs (lead..., m, n) broadcast? dot_general cannot
-            # broadcast — instead contract from the left with batching on
-            # axis 0.  For 3D (X, Y, Z), axis=1: batch X, sel (m, n) has
-            # no batch dim, so expand: sel_b (X, m, n) via broadcast.
-            lead = x.shape[0]
-            sel_b = jnp.broadcast_to(sel[None], (lead, m, n))
-            x = jax.lax.dot_general(
-                sel_b, pair, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=x.dtype)
+        pieces = [jax.lax.slice_in_dim(pair, 2 * k, 2 * k + 1, axis=axis)
+                  for k in range(m)]
+        x = (pieces[0] if m == 1
+             else jax.lax.concatenate(pieces, dimension=axis))
     return x
 
 
 def _prolong_pairwise(e, fine_shape, factors):
-    """Piecewise-constant injection == gmg._prolong, Mosaic-safe form.
-
-    Per factor-2 axis: expand coarse k -> fine {2k, 2k+1} (ragged tail
-    truncated) with the transposed selection matrices; each fine entry
-    receives exactly one coarse value, so this too is bit-exact.
-    """
-    dim = e.ndim
-    for axis in range(dim):
+    """Piecewise-constant injection == gmg._prolong (bit-exact), per
+    factor-2 axis: same-axis slice+concat interleave, ragged tail kept."""
+    for axis in range(e.ndim):
         if factors[axis] == 1:
             continue
         n = fine_shape[axis]
         m = e.shape[axis]
-        # expansion E (n, m): E[i, k] = 1 iff k == i // 2
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-        exp = (cols == rows // 2).astype(e.dtype)
-        if axis == dim - 1:
-            e = jax.lax.dot_general(
-                e, exp, (((dim - 1,), (1,)), ((), ())),
-                preferred_element_type=e.dtype)
-        elif axis == 0:
-            e = jax.lax.dot_general(
-                exp, e, (((1,), (0,)), ((), ())),
-                preferred_element_type=e.dtype)
-        else:
-            lead = e.shape[0]
-            exp_b = jnp.broadcast_to(exp[None], (lead, n, m))
-            e = jax.lax.dot_general(
-                exp_b, e, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=e.dtype)
+        pieces = []
+        for k in range(m):
+            s = jax.lax.slice_in_dim(e, k, k + 1, axis=axis)
+            pieces.append(s)
+            if 2 * k + 1 < n:
+                pieces.append(s)
+        e = (pieces[0] if len(pieces) == 1
+             else jax.lax.concatenate(pieces, dimension=axis))
     return e
+
+
+# ------------------------------------------------- dense solve, flat-free
+#
+# The coarsest-level dense solve needs grid<->flat moves, but Mosaic has no
+# working reshape for these shapes.  Probe-validated alternative: "modulo
+# matmuls" — contract the LAST axis with periodic 0/1 matrices (each output
+# element receives exactly one term; precision=HIGHEST keeps the MXU off
+# its bf16 path) plus iota masks and sublane/leading reductions.
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _iota2(sh, d):
+    return jax.lax.broadcasted_iota(jnp.int32, sh, d)
+
+
+def _modmat(p, q, dtype):
+    """M (p, q) with M[i, j] = 1 iff j % p == i."""
+    return (_iota2((p, q), 1) % p == _iota2((p, q), 0)).astype(dtype)
+
+
+def _flatten_mm(b):
+    """(c1[,c2],c3) -> (1[,1],n) row-major, reshape-free."""
+    dt = b.dtype
+    if b.ndim == 2:
+        c1, c2 = b.shape
+        n = c1 * c2
+        t = jax.lax.dot_general(b, _modmat(c2, n, dt),
+                                (((1,), (0,)), ((), ())), precision=_HI,
+                                preferred_element_type=dt)
+        xm = (_iota2((c1, n), 1) // c2 == _iota2((c1, n), 0)).astype(dt)
+        return jnp.sum(t * xm, axis=0, keepdims=True)        # (1, n)
+    c1, c2, c3 = b.shape
+    M, n = c2 * c3, c1 * c2 * c3
+    t = jax.lax.dot_general(b, _modmat(c3, M, dt),
+                            (((2,), (0,)), ((), ())), precision=_HI,
+                            preferred_element_type=dt)       # (c1,c2,M)
+    ym = (_iota2((c2, M), 1) // c3 == _iota2((c2, M), 0)).astype(dt)
+    s = jnp.sum(t * ym[None], axis=1, keepdims=True)         # (c1,1,M)
+    t2 = jax.lax.dot_general(s, _modmat(M, n, dt),
+                             (((2,), (0,)), ((), ())), precision=_HI,
+                             preferred_element_type=dt)      # (c1,1,n)
+    xm = (jax.lax.broadcasted_iota(jnp.int32, (c1, 1, n), 2) // M
+          == jax.lax.broadcasted_iota(jnp.int32, (c1, 1, n), 0)).astype(dt)
+    return jnp.sum(t2 * xm, axis=0, keepdims=True)           # (1,1,n)
+
+
+def _unflatten_mm(ef, shape):
+    """(1[,1],n) -> ``shape`` row-major, reshape-free."""
+    dt = ef.dtype
+    if len(shape) == 2:
+        c1, c2 = shape
+        n = c1 * c2
+        b = jnp.broadcast_to(ef, (c1, n))
+        xm = (_iota2((c1, n), 1) // c2 == _iota2((c1, n), 0)).astype(dt)
+        return jax.lax.dot_general(b * xm, _modmat(c2, n, dt),
+                                   (((1,), (1,)), ((), ())), precision=_HI,
+                                   preferred_element_type=dt)
+    c1, c2, c3 = shape
+    M, n = c2 * c3, c1 * c2 * c3
+    b = jnp.broadcast_to(ef, (c1, 1, n))
+    xm = (jax.lax.broadcasted_iota(jnp.int32, (c1, 1, n), 2) // M
+          == jax.lax.broadcasted_iota(jnp.int32, (c1, 1, n), 0)).astype(dt)
+    e2 = jax.lax.dot_general(b * xm, _modmat(M, n, dt),
+                             (((2,), (1,)), ((), ())), precision=_HI,
+                             preferred_element_type=dt)      # (c1,1,M)
+    e2 = jnp.broadcast_to(e2, (c1, c2, M))
+    ym = (_iota2((c2, M), 1) // c3 == _iota2((c2, M), 0)).astype(dt)
+    return jax.lax.dot_general(e2 * ym[None], _modmat(c3, M, dt),
+                               (((2,), (1,)), ((), ())), precision=_HI,
+                               preferred_element_type=dt)    # (c1,c2,c3)
 
 
 # ------------------------------------------------------------- cycle math
@@ -185,14 +216,14 @@ def _correction_math(levels, inv, rc, *, degree, lam_min_frac, cycle_type,
         packed, lam, shape, factors = levels[ell]
         dim = len(shape)
         if ell == n_levels - 1:
-            n = math.prod(shape)
-            # dense solve as a (n,1) matmul; flattening happens through
-            # the Mosaic-safe per-axis contraction of _blocksum_pairwise's
-            # family only when needed — here the coarsest grid is tiny and
-            # its reshape is leading-axes-only after the lane axis is kept
-            e = jnp.dot(inv, b.reshape(n, 1),
-                        preferred_element_type=b.dtype)
-            return e.reshape(shape)
+            # dense solve: flat-free flatten -> one MXU matvec -> unflatten
+            # (e_i = Σ_j inv[i,j]·b_j via contraction with inv's SECOND
+            # axis, so no host-side transpose of the inverse is needed)
+            flat = _flatten_mm(b)
+            ef = jax.lax.dot_general(
+                flat, inv, (((flat.ndim - 1,), (1,)), ((), ())),
+                precision=_HI, preferred_element_type=b.dtype)
+            return _unflatten_mm(ef, shape)
         x = _cheb(packed, lam, b, jnp.zeros_like(b), dim, degree,
                   lam_min_frac)
         r = b - _apply(packed, x, dim)
@@ -305,11 +336,20 @@ def deep_correction(
         ]
         return _correction_math(levels, inv, rc, **statics)
 
+    # Mosaic's scoped-VMEM stack for the unrolled recursion runs ~5-8x the
+    # raw operand footprint (unrolled smooths + concat staging keep many
+    # temporaries live); the default 16 MiB limit rejects even a 36k-cell
+    # entry, so raise it toward the hardware's VMEM with margin.  The
+    # _fusable() data budget (precond/gmg.py) keeps the request honest.
+    est = subtree_vmem_bytes(stencils, coarse_inv)
+    vmem_limit = min(120 * 2**20, max(32 * 2**20, 8 * est))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(rc.shape, dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_lev),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
         interpret=interpret,
     )(lam_arr, inv, rc, *packed)

@@ -445,7 +445,10 @@ def _fusable(state: GMGState, level: int, cfg: GMGConfig) -> bool:
         return False
     from thermalporous_tpu.kernels.deep_cycle import subtree_vmem_bytes
 
-    return subtree_vmem_bytes(subtree, state.coarse_inv) <= 12 * 2**20
+    # data-footprint budget; the kernel requests ~8x this as Mosaic scoped
+    # stack (measured ~7x at a 36k-cell entry), capped at 120 MiB of the
+    # chip's VMEM in deep_correction
+    return subtree_vmem_bytes(subtree, state.coarse_inv) <= 14 * 2**20
 
 
 def _fused_correction(state: GMGState, level: int, rc: jax.Array,

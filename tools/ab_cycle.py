@@ -123,6 +123,13 @@ def main():
         "mcc4k-kmin32k": dict(max_coarse_cells=4096, kcycle_min_cells=32768,
                               _keep_t=True),
         "kmin32k": dict(kcycle_min_cells=32768, _keep_t=True),
+        # round-4: fused deep-cycle kernel (kernels/deep_cycle.py) on BOTH
+        # hierarchies — the whole coarse subtree in one Pallas launch
+        "fuse40k": dict(fuse_below=40000, _keep_t=True,
+                        _gmg_t=dict(fuse_below=40000)),
+        "fuse40k-p-only": dict(fuse_below=40000, _keep_t=True),
+        "fuse150k": dict(fuse_below=150000, _keep_t=True,
+                         _gmg_t=dict(fuse_below=150000)),
     }
 
     for tag, over in variants.items():
