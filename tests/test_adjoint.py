@@ -86,6 +86,7 @@ def _tgeo0_leaf(data, f):
         data, tgeo=(f(data.tgeo[0]),) + tuple(data.tgeo[1:]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_cls", [SinglePhaseModel, TwoPhaseModel])
 def test_adjoint_matches_fd_terminal(model_cls):
     """dJ/dφ and dJ/dT_geo for a terminal objective vs central differences."""
@@ -124,6 +125,7 @@ def test_adjoint_matches_fd_terminal(model_cls):
     assert abs(got_t - want_t) <= 1e-3 * max(abs(want_t), 1e-12), (got_t, want_t)
 
 
+@pytest.mark.slow
 def test_adjoint_matches_fd_running_two_phase():
     """Cumulative (running) objective on the two-phase model: Σ dt·⟨S⟩_prod —
     a produced-water-volume analog touching the saturation physics."""
@@ -150,6 +152,7 @@ def test_adjoint_matches_fd_running_two_phase():
     assert abs(got - want) <= 5e-4 * max(abs(want), 1e-12), (got, want)
 
 
+@pytest.mark.slow
 def test_adjoint_grad_u0_matches_fd():
     """dJ/du₀ (the λ₀ output) against a state-perturbation difference."""
     model, data = _case(SinglePhaseModel, shape=(8, 8), seed=9)
@@ -183,6 +186,7 @@ def test_adjoint_grad_u0_matches_fd():
     assert abs(got - want) <= 2e-4 * max(abs(want), 1e-12), (got, want)
 
 
+@pytest.mark.slow
 def test_ensemble_adjoint_matches_per_member():
     """ensemble_adjoint_gradients ≡ per-member adjoint_gradients: the
     vmapped batched sweep computes exactly the gradients each member's
@@ -230,6 +234,7 @@ def test_ensemble_adjoint_matches_per_member():
                                    rtol=1e-6, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_adjoint_orth_gram_matches_cgs2():
     """adjoint_gradients(orth="cgs2g2"/"cgs2g") — the low-synch Gram-matrix
     orthogonalization — reproduces the classic-CGS2 gradients to solver

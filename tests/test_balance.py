@@ -4,8 +4,9 @@ The closure identity is exact for the backward-Euler TPFA scheme up to
 the Newton tolerance: interior fluxes telescope under no-flow boundaries,
 so Δ(in place) − ∫ sources dt = Δt·Σ_cells R(u_new) per step.  These
 tests pin (a) closure at tight Newton tolerance over a multi-step
-adaptive run (wells, heaters, rate controls, gravity), and (b) the
-blocked-mode incompleteness flag.
+adaptive run (wells, heaters, rate controls, gravity), and (b) blocked
+mode closing via the in-device source integrals (BlockStats.src_dt) and
+agreeing with the host-loop audit.
 """
 
 from __future__ import annotations
@@ -21,10 +22,12 @@ from thermalporous_tpu.models import (
 )
 from thermalporous_tpu.physics import Heater, PhysicalParams, Well
 from thermalporous_tpu.solve import NewtonConfig, Simulator, TimeConfig
+import pytest
 
 TIGHT = NewtonConfig(rtol=1e-11, max_iters=20)
 
 
+@pytest.mark.slow
 def test_balance_two_phase_bhp_wells():
     pp = PhysicalParams()
     n = 10

@@ -103,6 +103,7 @@ def _block_diffusion(shape, rng, nc=2, coupling=0.2):
     return BlockStencil(diag=diag, upper=tuple(upper), lower=tuple(lower))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(32, 32), (16, 16, 8)])
 def test_block_vcycle_converges(shape, rng):
     st = _block_diffusion(shape, rng)
@@ -132,6 +133,7 @@ def test_block_coarse_solve_exact_when_one_level(rng):
                                rtol=0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_stage2_bgmg_matches_oracle():
     """stage2='bgmg' is preconditioning only — same converged states."""
     model, data = _tp_case(n=6)

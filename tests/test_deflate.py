@@ -94,6 +94,7 @@ def test_prepare_recycle_masks_dependent_columns(rng):
     np.testing.assert_array_equal(np.asarray(C[1]), 0.0)
 
 
+@pytest.mark.slow
 def test_newton_recycle_matches_oracle():
     """Recycling is a Krylov accelerator only — converged states match
     the f64 dense oracle.  NOTE: ksp_iters counts Arnoldi iterations
@@ -112,6 +113,7 @@ def test_newton_recycle_matches_oracle():
     _compare_states(u_r, oracle_states[0])
 
 
+@pytest.mark.slow
 def test_adjoint_recycle_matches_plain():
     """The adjoint sweep's recycle option changes iteration counts only —
     gradients match the plain sweep to solve tolerance."""

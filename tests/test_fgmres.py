@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from thermalporous_tpu.solve import fgmres
+import pytest
 
 
 def _random_system(rng, n=40, cond_shift=2.0):
@@ -68,6 +69,7 @@ def test_fgmres_state_shaped_vectors(rng):
     np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_f32_with_f64_reductions_iteration_parity(rng):
     """Mixed precision (SURVEY.md §5.8 / §7 plan B): an f32 solve whose
     dots/norms accumulate in f64 reaches the same iteration count as the

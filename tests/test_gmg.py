@@ -74,6 +74,7 @@ def test_smoothers_reduce_error(rng):
         assert r < np.linalg.norm(np.asarray(b))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(32, 32), (33, 17), (16, 16, 8)])
 def test_vcycle_converges_homogeneous(shape, rng):
     st = poisson_stencil(shape, shift=1e-4)
@@ -97,6 +98,7 @@ def test_vcycle_converges_homogeneous(shape, rng):
     assert rate < 0.6, f"V-cycle convergence factor too slow: {rate:.3f}"
 
 
+@pytest.mark.slow
 def test_vcycle_heterogeneous_contrast(rng):
     # 4 orders of magnitude permeability contrast in channels
     shape = (32, 32)
@@ -140,6 +142,7 @@ def test_galerkin_semicoarsening_is_rap(rng):
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_semicoarsening_converges_anisotropic(rng):
     """Thin-layer anisotropy: both full coarsening (whose summation
     aggregation folds the strong vertical couplings into the diagonal,
@@ -182,6 +185,7 @@ def test_semicoarsening_converges_anisotropic(rng):
     assert rates["semi"] < 0.6, rates
 
 
+@pytest.mark.slow
 def test_rbgs_smoother_and_gmg(rng):
     """Red-black Gauss-Seidel: reduces residual standalone and works as the
     multigrid smoother (option 'rbgs'; ~7.1 vs 7.9 iters/Newton vs Chebyshev
@@ -253,6 +257,7 @@ def test_plan_coarsening_adaptive_anisotropic(rng):
     assert results["adaptive"] < 0.5  # and must genuinely contract
 
 
+@pytest.mark.slow
 def test_resolve_adaptive_coarsening_bakes_schedule(rng):
     """resolve_adaptive_coarsening bakes a static schedule once, is a no-op
     otherwise, and the resulting preconditioner still solves the system."""

@@ -1,6 +1,7 @@
 """IO subsystem tests: VTI/PVD output, checkpoint resume, JSONL metrics, CLI."""
 
 import json
+import pytest
 import os
 import struct
 import subprocess
@@ -171,6 +172,7 @@ def test_resume_continues_trajectory_exactly(tmp_path):
     np.testing.assert_allclose(resumed_dts, full_dts)
 
 
+@pytest.mark.slow
 def test_block_mode_checkpoints_are_state_consistent(tmp_path):
     """block_steps>1 materializes only the block-final state; checkpoints
     must pair state and clock consistently (ADVICE r2 medium): a resume
@@ -245,6 +247,7 @@ def test_checkpoint_cadence_survives_block_final_step_drift(tmp_path):
     assert files == ["ckpt_0000007.npz", "ckpt_0000011.npz"]
 
 
+@pytest.mark.slow
 def test_resume_preserves_failure_memory_cap(tmp_path):
     """With TimeConfig.fail_frac active, a resumed run must continue the
     failure-memory Δt cap: the checkpoint stores record.dt_cap and

@@ -69,6 +69,7 @@ def test_sp_matches_oracle(precond):
         _compare_states(u, u_ref)
 
 
+@pytest.mark.slow
 def test_tp_matches_oracle():
     model, data = _tp_case()
     dts = [3600.0, 7200.0]
@@ -137,6 +138,7 @@ def test_dt_retry_on_divergence():
     assert s.min() >= -1e-6 and s.max() <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_cptr_beats_cpr_thermally_stiff():
     """[P2]'s motivation: with a strong heat source and large dt the
     temperature block is parabolic/advective and needs its own multigrid —
@@ -171,6 +173,7 @@ def test_cptr_beats_cpr_thermally_stiff():
     assert counts["cptr"] < 0.8 * counts["cpr"], counts
 
 
+@pytest.mark.slow
 def test_blocked_time_loop_bit_exact():
     """TimeConfig.block_steps>1 runs the adaptive controller in-device
     (one XLA program per block); trajectory, iteration counts and final
@@ -234,6 +237,7 @@ def test_blocked_partial_final_step_no_overshoot():
     np.testing.assert_array_equal(np.asarray(res[1].u), np.asarray(res[4].u))
 
 
+@pytest.mark.slow
 def test_fail_memory_reduces_retries_host_and_blocked():
     """TimeConfig.fail_frac: a failed attempt caps Δt regrowth below the
     failure, so the controller stops bouncing against a Δt wall (fewer
@@ -271,6 +275,7 @@ def test_fail_memory_reduces_retries_host_and_blocked():
                                rtol=1e-12, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_blocked_gives_up_at_dt_min_like_host():
     """When cutbacks bottom out at dt_min and still fail, the block must
     raise just as the host loop does (same give-up condition), instead of

@@ -209,6 +209,7 @@ def test_gravity_segregation_equilibrium():
     np.testing.assert_allclose(s.mean(), 0.5, atol=0.02)
 
 
+@pytest.mark.slow
 def test_theis_drawdown():
     """Constant-rate producer in an infinite-acting 2D aquifer: Theis curve.
 

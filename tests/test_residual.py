@@ -107,6 +107,7 @@ def test_uniform_state_zero_flux(rng):
     np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_stencil_matches_dense_jacobian(cases, rng):
     for model, data in cases:
         u_old = model.initial_state(data)

@@ -88,6 +88,7 @@ def test_sharded_newton_step_matches():
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ksp_orth", ["cgs2g", "cgs2g2"])
 def test_sharded_ksp_orth_gram_match(ksp_orth):
     """Low-synch Gram-matrix CGS2 (fgmres.orth_gram — adopted by the
@@ -115,6 +116,7 @@ def test_sharded_ksp_orth_gram_match(ksp_orth):
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_3d_two_phase_step():
     """3D domain decomposition (z local): full CPTR step on a 2x4 mesh."""
     import dataclasses
@@ -148,6 +150,7 @@ def test_sharded_3d_two_phase_step():
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_s_stage_match():
     """The CPTRS saturation stage-1 leg (s_stage) is pure stencil algebra
     on full-shape arrays — a sharded 3D run must match single-device with
@@ -188,6 +191,7 @@ def test_sharded_s_stage_match():
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_stage2_zebra_z_match():
     """stage2='zebra' along z: the block-Thomas lax.scan runs over the
     LOCAL z axis under the production (x,y) domain decomposition, so the
@@ -236,6 +240,7 @@ def test_sharded_stage2_zebra_z_match():
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_stage2_bgmg_match():
     """stage2='bgmg': the coupled block hierarchy (Galerkin block
     coarsening, block-RBGS levels, dense coupled coarse solve) must give
@@ -276,6 +281,7 @@ def test_sharded_stage2_bgmg_match():
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_ksp_recycle_match():
     """Krylov recycling (solve/deflate.py): the recycle space rides the
     Newton carry as state-shaped columns, its projections are grid-wide
@@ -304,6 +310,7 @@ def test_sharded_ksp_recycle_match():
     assert len(u_out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_adjoint_matches_single_device():
     """The adjoint backward sweep (transposed stencil + vjp operator) is
     the same shift/elementwise algebra as the forward pass — sharded
@@ -346,6 +353,7 @@ def test_sharded_adjoint_matches_single_device():
                                atol=1e-8 * st_scale, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_variational_transfer_match():
     """transfer='variational' (R=Pᵀ, box Galerkin levels): shifts, masks
     and pairwise block-sums only, so a sharded run must match
@@ -527,6 +535,7 @@ def test_ensemble_axis_matches_single_runs():
         assert int(st_e.ksp_iters[e]) == ksp_ref
 
 
+@pytest.mark.slow
 def test_blocked_loop_and_adaptive_coarsening_sharded():
     """The jitted block time loop and the strength-adaptive coarsening
     schedule both work under GSPMD: a sharded blocked run reproduces the

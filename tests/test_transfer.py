@@ -251,6 +251,7 @@ def test_weighted_rough_field_two_level():
     assert rho_prod < rho_const    # and still beats constant transfer
 
 
+@pytest.mark.slow
 def test_weighted_hierarchy_wellposed_on_channelized_f32():
     """The weighted hierarchy stays finite in f32 on a channelized
     SPE10-like field (the production dtype and contrast structure)."""
@@ -442,6 +443,7 @@ def test_variational_stable_at_low_floor():
     assert rho_var < rho_const           # and beats constant transfer
 
 
+@pytest.mark.slow
 def test_variational_solver_on_channelized_f32():
     """Full FGMRES+GMG solve with transfer='variational' on a channelized
     f32 field: finite hierarchy, converges, and iterations do not lose

@@ -68,6 +68,21 @@ def fits_vmem(shape, dtype, n_operands: int, budget_bytes: int = 12 * 2**20) -> 
     return n_operands * nbytes <= budget_bytes
 
 
+def _vmem_params(shape, dtype, n_operands: int) -> "pltpu.CompilerParams":
+    """Scoped-VMEM request for a whole-array kernel.
+
+    Mosaic's stack accounting for unrolled kernels runs ~5-8x the raw
+    operand footprint (measured: a deg-4 Chebyshev smooth at a 145k-cell
+    3D level needs 36.2 MiB against a 7.5 MiB operand estimate), and its
+    DEFAULT limit is 16 MiB — so without this, kernels that pass
+    ``fits_vmem`` can still be rejected at compile time.  Request ~8x the
+    estimate, floored at 32 MiB and capped below the chip's VMEM.
+    """
+    est = n_operands * math.prod(shape) * jnp.dtype(dtype).itemsize
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(120 * 2**20, max(32 * 2**20, 8 * est))))
+
+
 # ---------------------------------------------------------------- row bands
 # 2D levels too big for whole-array kernels are processed in row bands over
 # the sublane (x) axis with an 8-row halo (Mosaic's DMA slice alignment),
@@ -157,6 +172,7 @@ def matvec(st: ScalarStencil, v: jax.Array, interpret: bool = False) -> jax.Arra
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_vmem_params(st.grid_shape, v.dtype, 2 * dim + 3),
             interpret=interpret,
         )(packed, v)
 
@@ -243,6 +259,7 @@ def block_matvec(st: BlockStencil, v: jax.Array, interpret: bool = False) -> jax
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_vmem_params(shape, v.dtype, 2 * K + 4 * nc),
             interpret=interpret,
         )(coef, v)
 
@@ -352,6 +369,7 @@ def chebyshev_smooth(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=_vmem_params(st.grid_shape, b.dtype, 2 * dim + 7),
             interpret=interpret,
         )(lam, packed, b, x0)
 
