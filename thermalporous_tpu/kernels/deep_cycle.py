@@ -182,14 +182,19 @@ def _unflatten_mm(ef, shape):
 def _cheb(packed, lam, b, x, dim, degree, lam_min_frac, safety=1.05):
     """Chebyshev smooth on a packed stencil value — the recurrence of
     ``precond.chebyshev.chebyshev`` verbatim (bit-exact, established by the
-    round-3 fused-smoother A/B)."""
+    round-3 fused-smoother A/B).  ``x=None`` = zero start: skips the first
+    stencil application (b − A·0 = b exactly), matching the jnp path."""
     lmax = lam * safety
     lmin = lam * lam_min_frac
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma1 = theta / delta
     inv_diag = 1.0 / packed[0]
-    z = inv_diag * (b - _apply(packed, x, dim))
+    if x is None:
+        x = jnp.zeros_like(b)
+        z = inv_diag * b
+    else:
+        z = inv_diag * (b - _apply(packed, x, dim))
     d = z / theta
     rho = 1.0 / sigma1
     for _ in range(degree - 1):
@@ -224,8 +229,7 @@ def _correction_math(levels, inv, rc, *, degree, lam_min_frac, cycle_type,
                 flat, inv, (((flat.ndim - 1,), (1,)), ((), ())),
                 precision=_HI, preferred_element_type=b.dtype)
             return _unflatten_mm(ef, shape)
-        x = _cheb(packed, lam, b, jnp.zeros_like(b), dim, degree,
-                  lam_min_frac)
+        x = _cheb(packed, lam, b, None, dim, degree, lam_min_frac)
         r = b - _apply(packed, x, dim)
         bc = _blocksum_pairwise(r, factors)
         ec = correction(ell + 1, bc)
@@ -336,13 +340,15 @@ def deep_correction(
         ]
         return _correction_math(levels, inv, rc, **statics)
 
-    # Mosaic's scoped-VMEM stack for the unrolled recursion runs ~5-8x the
-    # raw operand footprint (unrolled smooths + concat staging keep many
-    # temporaries live); the default 16 MiB limit rejects even a 36k-cell
-    # entry, so raise it toward the hardware's VMEM with margin.  The
-    # _fusable() data budget (precond/gmg.py) keeps the request honest.
-    est = subtree_vmem_bytes(stencils, coarse_inv)
-    vmem_limit = min(120 * 2**20, max(32 * 2**20, 8 * est))
+    # Mosaic's scoped-VMEM stack runs far beyond the raw operand footprint:
+    # unrolled smooths keep many temporaries live AND thin-z 3D levels pad
+    # their lane dim to 128 (a (60,110,6) f32 array occupies 3.4 MiB of
+    # VMEM, 21x its raw bytes) — measured 20.4 MiB needed for a 36k-cell
+    # p-subtree and 60.4 MiB for a 4-level thin-z T-subtree against the
+    # 16 MiB default.  The limit is an allowance, not an allocation, so
+    # request a flat high bound with margin under the chip's VMEM; the
+    # _fusable() data budget (precond/gmg.py) bounds entry sizes.
+    vmem_limit = 120 * 2**20
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(rc.shape, dtype),

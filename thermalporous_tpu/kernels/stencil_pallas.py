@@ -71,16 +71,16 @@ def fits_vmem(shape, dtype, n_operands: int, budget_bytes: int = 12 * 2**20) -> 
 def _vmem_params(shape, dtype, n_operands: int) -> "pltpu.CompilerParams":
     """Scoped-VMEM request for a whole-array kernel.
 
-    Mosaic's stack accounting for unrolled kernels runs ~5-8x the raw
-    operand footprint (measured: a deg-4 Chebyshev smooth at a 145k-cell
-    3D level needs 36.2 MiB against a 7.5 MiB operand estimate), and its
-    DEFAULT limit is 16 MiB — so without this, kernels that pass
-    ``fits_vmem`` can still be rejected at compile time.  Request ~8x the
-    estimate, floored at 32 MiB and capped below the chip's VMEM.
+    Mosaic's stack accounting runs far beyond the raw operand footprint
+    (unrolled temporaries + lane padding of thin minor dims: measured a
+    deg-4 Chebyshev smooth at a 145k-cell 3D level needing 36.2 MiB
+    against a 7.5 MiB operand estimate), and its DEFAULT limit is 16 MiB —
+    so kernels that pass ``fits_vmem`` can still be rejected at compile
+    time.  The limit is an allowance, not an allocation; request a flat
+    high bound with margin under the chip's VMEM.
     """
-    est = n_operands * math.prod(shape) * jnp.dtype(dtype).itemsize
-    return pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(120 * 2**20, max(32 * 2**20, 8 * est))))
+    del shape, dtype, n_operands
+    return pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20)
 
 
 # ---------------------------------------------------------------- row bands

@@ -46,8 +46,6 @@ def chebyshev(
     Jacobi-preconditioned operator — the standard smoothing configuration
     (high-frequency error killer for multigrid, stage-2 smoother for CPR).
     """
-    if x is None:
-        x = jnp.zeros_like(b)
     if lam_max is None:
         lam_max = gershgorin_lambda_max(st)
     lmax = lam_max * lam_max_safety
@@ -58,7 +56,15 @@ def chebyshev(
     sigma1 = theta / delta
     inv_diag = 1.0 / st.diag
 
-    z = inv_diag * (b - st.matvec(x))
+    if x is None:
+        # zero start (every pre-smooth): b − A·0 = b EXACTLY, so skip the
+        # first stencil matvec — one of (degree+1) full coefficient-array
+        # streams per smooth, for free.  Math-identical to the x=0 path
+        # (compiled programs may differ by ≤1 ulp of fusion rounding).
+        x = jnp.zeros_like(b)
+        z = inv_diag * b
+    else:
+        z = inv_diag * (b - st.matvec(x))
     d = z / theta
     rho = 1.0 / sigma1
 
@@ -82,14 +88,20 @@ def weighted_jacobi(
     omega: float = 0.8,
 ) -> jax.Array:
     """Damped Jacobi sweeps (fallback smoother for strongly nonsymmetric blocks)."""
-    if x is None:
-        x = jnp.zeros_like(b)
     inv_diag = omega / st.diag
+    start = 0
+    if x is None:
+        # zero start: the first sweep is x = ωD⁻¹b with no matvec
+        # (math-identical — see chebyshev)
+        x = jnp.zeros_like(b)
+        if sweeps >= 1:
+            x = inv_diag * b
+            start = 1
 
     def body(_, x):
         return x + inv_diag * (b - st.matvec(x))
 
-    return jax.lax.fori_loop(0, sweeps, body, x)
+    return jax.lax.fori_loop(start, sweeps, body, x)
 
 
 def _checkerboard(shape, dtype) -> jax.Array:
@@ -115,8 +127,6 @@ def red_black_gauss_seidel(
     two full-grid VPU passes per sweep, sequential-GS strength without the
     sequential dependency (the reference's PETSc SOR role — SURVEY.md §2.15).
     """
-    if x is None:
-        x = jnp.zeros_like(b)
     red = _checkerboard(st.grid_shape, b.dtype)
     black = 1.0 - red
     inv_diag = 1.0 / st.diag
@@ -125,6 +135,15 @@ def red_black_gauss_seidel(
         x = x + red * inv_diag * (b - st.matvec(x))
         return x + black * inv_diag * (b - st.matvec(x))
 
+    # NOTE: the "skip the first matvec on a zero start" unroll (see
+    # chebyshev) is deliberately NOT applied to the masked half-sweep
+    # smoothers: the unrolled first half-sweep of the BLOCK variant
+    # miscompiles on axon inside the Newton while_loop at full-SPE10 scale
+    # (FGMRES dead from iteration 1; 2026-08-20 probe — BASELINE.md
+    # round-4 ledger), and the scalar colored forms share the program
+    # shape, so they stay in the uniformly-looped form.
+    if x is None:
+        x = jnp.zeros_like(b)
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 
@@ -200,8 +219,6 @@ def line_jacobi(
     hard part #2's 'line solves along the dominant axis' candidate): exact
     line solves damp error components the point smoothers cannot.
     """
-    if x is None:
-        x = jnp.zeros_like(b)
     a = axis % len(st.grid_shape)
     lo, up = st.lower[a], st.upper[a]
 
@@ -209,7 +226,14 @@ def line_jacobi(
         r = b - st.matvec(x)
         return x + omega * tridiag_solve_along(a, lo, st.diag, up, r)
 
-    return jax.lax.fori_loop(0, sweeps, body, x)
+    start = 0
+    if x is None:
+        # zero start: first sweep's residual is b itself (no matvec)
+        x = jnp.zeros_like(b)
+        if sweeps >= 1:
+            x = omega * tridiag_solve_along(a, lo, st.diag, up, b)
+            start = 1
+    return jax.lax.fori_loop(start, sweeps, body, x)
 
 
 def zebra_line_gs(
@@ -222,8 +246,6 @@ def zebra_line_gs(
     """Zebra (red-black line) Gauss–Seidel along ``axis``: alternate exact
     solves of the two line colors, each against the other's fresh values —
     Gauss–Seidel strength, TPU-parallel within a color."""
-    if x is None:
-        x = jnp.zeros_like(b)
     a = axis % len(st.grid_shape)
     lo, up = st.lower[a], st.upper[a]
     red = _line_mask(st.grid_shape, a, 0, b.dtype)
@@ -233,6 +255,10 @@ def zebra_line_gs(
         x = x + red * tridiag_solve_along(a, lo, st.diag, up, b - st.matvec(x))
         return x + black * tridiag_solve_along(a, lo, st.diag, up, b - st.matvec(x))
 
+    # zero-start unroll withheld: see the miscompile note in
+    # red_black_gauss_seidel (same masked-half-sweep program shape)
+    if x is None:
+        x = jnp.zeros_like(b)
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 
@@ -252,8 +278,6 @@ def block_red_black_gauss_seidel(
     family keeps for ablations (SURVEY.md §2.1, §2.15): sequential-GS
     coupling strength, TPU-parallel by 2-coloring.
     """
-    if x is None:
-        x = jnp.zeros_like(b)
     red = _checkerboard(st.grid_shape, b.dtype)   # (*shape,), broadcasts
     black = 1.0 - red
 
@@ -261,6 +285,8 @@ def block_red_black_gauss_seidel(
         x = x + red * apply_blocks(dinv, b - st.matvec(x))
         return x + black * apply_blocks(dinv, b - st.matvec(x))
 
+    if x is None:
+        x = jnp.zeros_like(b)
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 

@@ -130,6 +130,23 @@ def main():
         "fuse40k-p-only": dict(fuse_below=40000, _keep_t=True),
         "fuse150k": dict(fuse_below=150000, _keep_t=True,
                          _gmg_t=dict(fuse_below=150000)),
+        # round-4: the apply's residual cost is upper-level smoothing +
+        # stage-2 coefficient streaming — attack bandwidth (bf16 PC
+        # coefficients) and fine-level launch fusion (use_pallas) on top
+        # of the fused deep subtree
+        "fuse40k-bf16pc": dict(fuse_below=40000, _keep_t=True,
+                               _gmg_t=dict(fuse_below=40000),
+                               _pc=dict(pc_dtype="bf16")),
+        "bf16pc": dict(_keep_t=True, _pc=dict(pc_dtype="bf16")),
+        "fuse40k-gmgpallas": dict(fuse_below=40000, use_pallas=True,
+                                  _keep_t=True,
+                                  _gmg_t=dict(fuse_below=40000,
+                                              use_pallas=True)),
+        "fuse40k-bf16pc-pallas": dict(fuse_below=40000, use_pallas=True,
+                                      _keep_t=True,
+                                      _gmg_t=dict(fuse_below=40000,
+                                                  use_pallas=True),
+                                      _pc=dict(pc_dtype="bf16")),
     }
 
     for tag, over in variants.items():
@@ -138,6 +155,7 @@ def main():
         over = dict(over)
         keep_t = over.pop("_keep_t", False)
         gmg_t_over = over.pop("_gmg_t", None)
+        pc_over = over.pop("_pc", {})
         gmg_t = base.gmg_t if keep_t else None
         if gmg_t_over is not None:
             # with _keep_t: tweak the production gmg_t; legacy variants
@@ -145,7 +163,8 @@ def main():
             gmg_t = dataclasses.replace(
                 base.gmg_t if keep_t else base.gmg, **gmg_t_over)
         pc = dataclasses.replace(
-            base, gmg=dataclasses.replace(base.gmg, **over), gmg_t=gmg_t)
+            base, gmg=dataclasses.replace(base.gmg, **over), gmg_t=gmg_t,
+            **pc_over)
 
         # marginal apply cost: slope of k CPTR applies inside one program
         # (st/f passed as traced args — big captured closures overflow the
