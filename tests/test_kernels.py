@@ -274,3 +274,24 @@ def test_deep_cycle_integration_fuse_below(rng):
                        dataclasses.replace(cfg_rb, fuse_below=10**9))
     np.testing.assert_allclose(np.asarray(out_rb), np.asarray(ref_rb),
                                rtol=1e-12)
+
+
+@pytest.mark.parametrize("shape", [(12, 10, 6), (8, 14, 5)])
+def test_fused_block_rbgs_matches(shape, rng):
+    """The fused stage-2 RBGS kernel (interpret mode) matches the jnp
+    one-sweep zero-start block red-black Gauss-Seidel."""
+    import jax
+
+    from thermalporous_tpu.kernels import fused_block_rbgs
+    from thermalporous_tpu.precond.chebyshev import (
+        block_red_black_gauss_seidel,
+    )
+    from tests.test_block_gmg import random_block_stencil
+
+    st = random_block_stencil(shape, nc=3, rng=rng)
+    dinv = st.diag_inverse()
+    b = jnp.asarray(rng.standard_normal((3,) + shape))
+    ref = block_red_black_gauss_seidel(st, dinv, b, None, sweeps=1)
+    out = fused_block_rbgs(st, dinv, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-12)

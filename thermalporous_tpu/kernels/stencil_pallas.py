@@ -403,3 +403,179 @@ def chebyshev_smooth(
 
     return chebyshev(st, b, x, degree=degree, lam_max=lam_max,
                      lam_min_frac=lam_min_frac, lam_max_safety=lam_max_safety)
+
+
+def fused_block_rbgs(
+    st: BlockStencil,
+    dinv: jax.Array,
+    b: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-sweep red-black BLOCK Gauss–Seidel from a zero start, fused.
+
+    Computes ``block_red_black_gauss_seidel(st, dinv, b, x=None, sweeps=1)``
+    — the CPR/CPTR stage-2 smoothing correction — in ONE banded kernel
+    that streams the 63-field coefficient array ONCE.  The jnp form pays
+    two full coefficient streams (the in-loop matvec of each half-sweep;
+    the first is algebraically removable but its unrolled form miscompiles
+    on axon — BASELINE.md round-4 ledger — so the fused kernel is where
+    that traffic is actually recovered, plus the fused dinv/mask applies).
+
+    Math (zero start, one sweep):
+        x_r = red ⊙ D⁻¹b;   out = x_r + black ⊙ D⁻¹(b − A·x_r)
+    Band layout (3D): output rows [a, a+t) need coefficients on their own
+    rows only (auto-blocked, pipelined by Pallas) and dinv/b on rows
+    [a−1, a+t+1) (small manual-DMA windows) — x_r on the halo comes from
+    dinv·b there, no coefficient halo required.
+
+    3D only (the flagship regime); callers fall back to the jnp form
+    elsewhere.  sweeps>1 is out of scope by design (the production preset
+    runs 1).
+
+    STATUS (2026-08-20): EXPERIMENTAL — exact in interpret mode and
+    compiles on axon after the 128-aligned-DMA fix, but the compiled
+    kernel FAULTS the TPU worker at runtime at full-SPE10 scale
+    (tools/diag_s2fused.py; "TPU worker process crashed"), so
+    ``CPRConfig.stage2_pallas`` stays default-False and un-preset until
+    the fault is root-caused.  The ~1.5 ms/apply it targets (stage-2
+    measured 2.5 ms vs its 0.46 ms bound) remains the top identified
+    single-chip headroom — BASELINE.md round-4.
+    """
+    shape = st.grid_shape
+    dim = len(shape)
+    nc = st.nc
+    if not _pallas_available(interpret) or dim != 3:
+        from thermalporous_tpu.precond.chebyshev import (
+            block_red_black_gauss_seidel,
+        )
+
+        return block_red_black_gauss_seidel(st, dinv, b, None, sweeps=1)
+
+    nco = 2 * dim + 1
+    K = nco * nc * nc
+    coef = pack_block_stencil(st).astype(b.dtype)
+    dinv_flat = dinv.reshape((nc * nc,) + shape).astype(b.dtype)
+
+    nx = shape[0]
+    rest_shape = shape[1:]
+    rest = math.prod(rest_shape)
+    itemsize = jnp.dtype(b.dtype).itemsize
+    budget = 24 * 2**20
+    tile = None
+    for t in (32, 16, 12, 10, 8, 6, 5, 4, 3, 2, 1):
+        if nx % t:
+            continue
+        per_band = (2 * K * t + (nc * nc + 2 * nc) * (t + 2) + nc * t
+                    ) * rest * itemsize
+        if per_band <= budget:
+            tile = t
+            break
+    if tile is None:
+        from thermalporous_tpu.precond.chebyshev import (
+            block_red_black_gauss_seidel,
+        )
+
+        return block_red_black_gauss_seidel(st, dinv, b, None, sweeps=1)
+
+    h = 1
+    # manual-DMA slices must be 128-aligned on the lane dim (Mosaic:
+    # "Slice shape along dimension 3 must be aligned to tiling"), so the
+    # DMA'd arrays carry a zero-padded lane dim; kernels slice the real
+    # width back off the loaded window.
+    nz = rest_shape[-1]
+    nz_pad = -(-nz // 128) * 128
+    pad1 = ([(0, 0), (h, h)] + [(0, 0)] * (dim - 2)
+            + [(0, nz_pad - nz)])
+    b_p = jnp.pad(b, pad1)
+    dinv_p = jnp.pad(dinv_flat, pad1)
+    win_rest = rest_shape[:-1] + (nz_pad,)
+
+    def block_solve(dwin, vwin):
+        # per-cell block multiply y_i = Σ_j dinv[i,j]·v_j on a window
+        rows = []
+        for i in range(nc):
+            acc = dwin[i * nc + 0] * vwin[0]
+            for j in range(1, nc):
+                acc = acc + dwin[i * nc + j] * vwin[j]
+            rows.append(acc)
+        return jnp.stack(rows)
+
+    def apply_tile(c, vwin, t):
+        # y = A·v on the band rows; c (nco,nc,nc,t,*rest), vwin (nc,t+2,*rest)
+        vc = jax.lax.slice_in_dim(vwin, 1, 1 + t, axis=1)
+        vxp = jax.lax.slice_in_dim(vwin, 2, t + 2, axis=1)
+        vxm = jax.lax.slice_in_dim(vwin, 0, t, axis=1)
+        neigh = [(vxp, vxm)]
+        for a in range(1, dim):
+            neigh.append((_shift_m(vc, 1 + a), _shift_p(vc, 1 + a)))
+        rows = []
+        for i in range(nc):
+            acc = c[0, i, 0] * vc[0]
+            for j in range(1, nc):
+                acc = acc + c[0, i, j] * vc[j]
+            for a in range(dim):
+                vp, vm = neigh[a]
+                for j in range(nc):
+                    acc = acc + c[1 + 2 * a, i, j] * vp[j]
+                    acc = acc + c[2 + 2 * a, i, j] * vm[j]
+            rows.append(acc)
+        return jnp.stack(rows)
+
+    def parity_mask(i, t, win_rows):
+        # red = even (x+y+z) parity, on window rows [i·t − 1, i·t + t + 1)
+        gx = (jax.lax.broadcasted_iota(jnp.int32, (win_rows,) + rest_shape, 0)
+              + i * t - h)
+        p = gx
+        for a in range(1, dim):
+            p = p + jax.lax.broadcasted_iota(
+                jnp.int32, (win_rows,) + rest_shape, a)
+        return (p % 2 == 0)
+
+    def kernel(c_ref, d_hbm, b_hbm, o_ref, dwin, bwin, sem_d, sem_b):
+        i = pl.program_id(0)
+        t = o_ref.shape[1]
+        cp_d = pltpu.make_async_copy(
+            d_hbm.at[(slice(None), pl.ds(i * t, t + 2 * h))], dwin, sem_d)
+        cp_b = pltpu.make_async_copy(
+            b_hbm.at[(slice(None), pl.ds(i * t, t + 2 * h))], bwin, sem_b)
+        cp_d.start()
+        cp_b.start()
+        cp_d.wait()
+        cp_b.wait()
+        c = c_ref[...].reshape((nco, nc, nc, t) + rest_shape)
+        # slice the real lane width back off the 128-aligned DMA windows
+        dw = jax.lax.slice_in_dim(dwin[...], 0, nz, axis=dim)
+        bw = jax.lax.slice_in_dim(bwin[...], 0, nz, axis=dim)
+        red_w = parity_mask(i, t, t + 2 * h).astype(bw.dtype)
+        xr_win = red_w[None] * block_solve(dw, bw)      # (nc, t+2, rest)
+        ax = apply_tile(c, xr_win, t)                   # A·x_r on band rows
+        bc = jax.lax.slice_in_dim(bw, h, h + t, axis=1)
+        dc = jax.lax.slice_in_dim(dw, h, h + t, axis=1)
+        xr = jax.lax.slice_in_dim(xr_win, h, h + t, axis=1)
+        black_c = 1.0 - jax.lax.slice_in_dim(red_w, h, h + t, axis=0
+                                             ).astype(bw.dtype)
+        o_ref[...] = xr + black_c[None] * block_solve(dc, bc - ax)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nx // tile,),
+        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        in_specs=[
+            pl.BlockSpec((K, tile) + rest_shape,
+                         lambda i: (0, i) + (0,) * (dim - 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nc, tile) + rest_shape,
+                               lambda i: (0, i) + (0,) * (dim - 1),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nc * nc, tile + 2 * h) + win_rest, b.dtype),
+            pltpu.VMEM((nc, tile + 2 * h) + win_rest, b.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
+        interpret=interpret,
+    )(coef, dinv_p, b_p)

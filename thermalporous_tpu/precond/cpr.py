@@ -62,6 +62,13 @@ class CPRConfig:
     # modes point/line smoothers cannot), "none"
     stage2: str = "block_jacobi"
     stage2_sweeps: int = 1           # rbgs/zebra sweeps
+    # stage2="rbgs" only: run the one-sweep RBGS correction through the
+    # fused banded Pallas kernel (kernels.fused_block_rbgs) — ONE stream
+    # of the 63-field coefficient array instead of two (the in-loop
+    # matvec of each half-sweep; the first is algebraically removable but
+    # its unrolled jnp form miscompiles on axon — BASELINE.md round-4
+    # ledger).  3D + sweeps=1 only; transparent jnp fallback elsewhere.
+    stage2_pallas: bool = False
     stage2_axis: int = 1             # zebra line axis (1 = SPE10 channel y)
     stage2_omega: float = 1.0        # zebra under-relaxation (stability at
                                      # extreme contrast; measured ledger in
@@ -521,6 +528,11 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
         )
 
         r2 = r - state.stencil.matvec(x1)
+        if (cfg.stage2_pallas and cfg.stage2_sweeps == 1
+                and len(state.stencil.grid_shape) == 3):
+            from thermalporous_tpu.kernels import fused_block_rbgs
+
+            return x1 + fused_block_rbgs(state.stencil, state.dinv, r2)
         return x1 + block_red_black_gauss_seidel(
             state.stencil, state.dinv, r2, sweeps=cfg.stage2_sweeps
         )

@@ -125,6 +125,11 @@ def main():
         # ms/apply; "tvk8" adds pressure kcycle_min_cells=8192, 5.55 ms)
         "fm-tv": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
         "fm-tvk8": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # round-4: fused deep-cycle kernel on both hierarchies
+        # (GMGConfig.fuse_below; kernels/deep_cycle.py — identical
+        # iteration counts on the standalone system, wall inside tunnel
+        # noise there, so the controller-driven horizon decides adoption)
+        "fm-fuse": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -144,6 +149,11 @@ def main():
         if "pclag" in name:
             nc = dataclasses.replace(nc, pc_lag="step")
         pc_cfg = case.pc_cfg
+        if "fuse" in name:
+            pc_cfg = dataclasses.replace(
+                pc_cfg,
+                gmg=dataclasses.replace(pc_cfg.gmg, fuse_below=40000),
+                gmg_t=dataclasses.replace(pc_cfg.gmg_t, fuse_below=40000))
         if "-tv" in name:
             gmg_p = case.pc_cfg.gmg
             if "tvk8" in name:
