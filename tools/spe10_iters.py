@@ -16,6 +16,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
 
 def main():
     from thermalporous_tpu.precond import CPRConfig, GMGConfig
