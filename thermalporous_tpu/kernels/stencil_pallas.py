@@ -434,12 +434,16 @@ def fused_block_rbgs(
 
     STATUS (2026-08-20): EXPERIMENTAL — exact in interpret mode and
     compiles on axon after the 128-aligned-DMA fix, but the compiled
-    kernel FAULTS the TPU worker at runtime at full-SPE10 scale
+    kernel FAULTED the TPU worker at runtime at full-SPE10 scale
     (tools/diag_s2fused.py; "TPU worker process crashed"), so
     ``CPRConfig.stage2_pallas`` stays default-False and un-preset until
-    the fault is root-caused.  The ~1.5 ms/apply it targets (stage-2
-    measured 2.5 ms vs its 0.46 ms bound) remains the top identified
-    single-chip headroom — BASELINE.md round-4.
+    the fault is root-caused.  One candidate cause is fixed but NOT yet
+    re-probed on hardware (worker faults can drop the shared tunnel for
+    hours, so the re-probe must run early in a session): the parity
+    iota fed a NEGATIVE value into ``%`` at the band-0 ghost row.  Run
+    tools/diag_s2fused.py (early!) next session.  The ~1.5 ms/apply it
+    targets (stage-2 measured 2.5 ms vs its 0.46 ms bound) remains the
+    top identified single-chip headroom — BASELINE.md round-4.
     """
     shape = st.grid_shape
     dim = len(shape)
@@ -522,9 +526,13 @@ def fused_block_rbgs(
         return jnp.stack(rows)
 
     def parity_mask(i, t, win_rows):
-        # red = even (x+y+z) parity, on window rows [i·t − 1, i·t + t + 1)
+        # red = even (x+y+z) parity, on window rows [i·t − 1, i·t + t + 1).
+        # The +2 keeps the argument of % non-negative at the band-0 ghost
+        # row (i·t − h = −1): jnp follows Python's floored modulo but a
+        # lowered signed rem may be C-style (trunc) — an even offset
+        # preserves parity and sidesteps the question entirely.
         gx = (jax.lax.broadcasted_iota(jnp.int32, (win_rows,) + rest_shape, 0)
-              + i * t - h)
+              + i * t - h + 2)
         p = gx
         for a in range(1, dim):
             p = p + jax.lax.broadcasted_iota(
