@@ -392,3 +392,27 @@ def test_dense_inv_refined_path_matches_direct(rng):
     np.testing.assert_allclose(
         np.asarray(dense_inv(aj)), direct, rtol=0, atol=1e-12
     )
+
+
+def test_smoother_zero_start_equivalence(rng):
+    """The zero-start fast path (x=None skips the first matvec) is
+    math-identical to passing explicit zeros — ≤ a few ulps of
+    compilation-fusion rounding (chebyshev/weighted_jacobi/line_jacobi;
+    the masked half-sweep smoothers keep the looped form by the axon
+    miscompile ledger and are exactly equal by construction)."""
+    from thermalporous_tpu.precond.chebyshev import (
+        chebyshev,
+        line_jacobi,
+        weighted_jacobi,
+    )
+
+    shape = (13, 9, 5)
+    k = jnp.asarray(np.exp(rng.standard_normal(shape)))
+    st = poisson_stencil(shape, k=k, shift=0.4)
+    b = jnp.asarray(rng.standard_normal(shape))
+    z = jnp.zeros_like(b)
+    for fn in (lambda x: chebyshev(st, b, x, degree=4),
+               lambda x: weighted_jacobi(st, b, x, sweeps=3),
+               lambda x: line_jacobi(st, b, x, sweeps=2)):
+        np.testing.assert_allclose(np.asarray(fn(None)), np.asarray(fn(z)),
+                                   rtol=1e-13, atol=1e-14)

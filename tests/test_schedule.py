@@ -95,3 +95,31 @@ def test_shut_in_switches_exactly_at_boundary():
     # and it saw both regimes: water was injected, then the in-place water
     # stopped growing — cumulative water source below rate*t_end
     assert 0.0 < rep["rows"]["water_kg"]["cum_source"] < 1.0 * t_end
+
+
+def test_blocked_schedule_balance_closes():
+    """Control schedules compose with the jitted blocked loop AND the
+    in-device balance integrals: a two-segment schedule run at
+    block_steps=2 must close the audit across the control switch (the
+    per-step source integrals are computed in the block body from the
+    segment's own well fields)."""
+    pp, g, kx, model, data, inj, prod = _case()
+    from thermalporous_tpu.solve import Simulator, TimeConfig
+
+    tight = NewtonConfig(rtol=1e-11, max_iters=20)
+    sim = Simulator(model, data, precond="cptr", newton_cfg=tight,
+                    time_cfg=TimeConfig(dt_init=1800.0, block_steps=2))
+    u0 = model.initial_state(data)
+    t_mid, t_end = 3 * 3600.0, 6 * 3600.0
+    wf_off = build_well_fields(g, [prod], kx=np.asarray(kx))  # shut-in
+    schedule = [(0.0, data.wells), (t_mid, wf_off)]
+
+    aud = BalanceAuditor(model, data, u0)
+    res = sim.run_schedule(schedule, t_end=t_end, u0=u0, callback=aud)
+    assert res.t >= t_end - 1e-6
+
+    rep = aud.report()
+    assert rep["complete"], rep
+    assert rep["steps"] == res.steps
+    for lab in ("water_kg", "oil_kg", "energy_J"):
+        assert rep["rows"][lab]["rel_error"] < 1e-9, (lab, rep["rows"][lab])
