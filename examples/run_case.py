@@ -55,6 +55,11 @@ def main():
                    help="fused Pallas residual/JVP kernels (TPU, 2D cases)")
     p.add_argument("--pallas-gmg", action="store_true",
                    help="fused Pallas multigrid smoothers (TPU)")
+    p.add_argument("--fuse-below", type=int, default=None, metavar="CELLS",
+                   help="fused deep-cycle kernel: run the whole multigrid "
+                        "subtree at/below this many cells as one Pallas "
+                        "launch (TPU; 0 disables — see GMGConfig.fuse_below"
+                        " and the measured verdict in BASELINE.md round-4)")
     p.add_argument("--decoupling", default=None,
                    choices=[None, "qimpes", "timpes", "abf"],
                    help="CPR/CPTR decoupling variant (ablations)")
@@ -90,7 +95,8 @@ def main():
           f"{case.model.nc} unknowns/cell, precond={args.precond or case.precond}")
 
     pc_cfg = case.pc_cfg
-    if args.pallas_gmg or args.decoupling or args.cycle:
+    if (args.pallas_gmg or args.decoupling or args.cycle
+            or args.fuse_below is not None):
         import dataclasses as _dc
 
         from thermalporous_tpu.precond import CPRConfig, GMGConfig
@@ -100,11 +106,17 @@ def main():
             base.gmg,
             use_pallas=args.pallas_gmg,
             cycle_type=args.cycle or base.gmg.cycle_type,
+            fuse_below=(args.fuse_below if args.fuse_below is not None
+                        else base.gmg.fuse_below),
         )
+        gmg_t = base.gmg_t
+        if gmg_t is not None and args.fuse_below is not None:
+            gmg_t = _dc.replace(gmg_t, fuse_below=args.fuse_below)
         pc_cfg = _dc.replace(
             base,
             decoupling=args.decoupling or base.decoupling,
             gmg=gmg,
+            gmg_t=gmg_t,
         )
     newton_cfg = case.newton_cfg
     if args.ds_max is not None or args.ls_mode:
