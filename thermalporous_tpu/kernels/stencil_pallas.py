@@ -437,13 +437,18 @@ def fused_block_rbgs(
     kernel FAULTED the TPU worker at runtime at full-SPE10 scale
     (tools/diag_s2fused.py; "TPU worker process crashed"), so
     ``CPRConfig.stage2_pallas`` stays default-False and un-preset until
-    the fault is root-caused.  One candidate cause is fixed but NOT yet
-    re-probed on hardware (worker faults can drop the shared tunnel for
-    hours, so the re-probe must run early in a session): the parity
-    iota fed a NEGATIVE value into ``%`` at the band-0 ghost row.  Run
-    tools/diag_s2fused.py (early!) next session.  The ~1.5 ms/apply it
-    targets (stage-2 measured 2.5 ms vs its 0.46 ms bound) remains the
-    top identified single-chip headroom — BASELINE.md round-4.
+    the fault is root-caused.  ELIMINATED candidate: the negative parity
+    iota at the band-0 ghost row (made non-negative; re-probed same day —
+    still faults, tunnel recovered within minutes both times).  Next
+    suspects, in order: the two concurrent manual-DMA windows per band
+    (serialize or merge them into one copy), the 4D `.at[]` DMA slice
+    itself (block_matvec's 3D banded DMA has never actually compiled on
+    axon at these shapes — its tile search rejects flagship sizes), and
+    the blocked coefficient in_specs at lane=85.  Bisect by stripping
+    the kernel to DMA-only, then +apply_tile, then full, on
+    tools/diag_s2fused.py.  The ~1.5 ms/apply it targets (stage-2
+    measured 2.5 ms vs its 0.46 ms bound) remains the top identified
+    single-chip headroom — BASELINE.md round-4.
     """
     shape = st.grid_shape
     dim = len(shape)
