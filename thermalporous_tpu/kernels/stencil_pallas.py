@@ -437,18 +437,20 @@ def fused_block_rbgs(
     kernel FAULTED the TPU worker at runtime at full-SPE10 scale
     (tools/diag_s2fused.py; "TPU worker process crashed"), so
     ``CPRConfig.stage2_pallas`` stays default-False and un-preset until
-    the fault is root-caused.  ELIMINATED candidate: the negative parity
-    iota at the band-0 ghost row (made non-negative; re-probed same day —
-    still faults, tunnel recovered within minutes both times).  Next
-    suspects, in order: the two concurrent manual-DMA windows per band
-    (serialize or merge them into one copy), the 4D `.at[]` DMA slice
-    itself (block_matvec's 3D banded DMA has never actually compiled on
-    axon at these shapes — its tile search rejects flagship sizes), and
-    the blocked coefficient in_specs at lane=85.  Bisect by stripping
-    the kernel to DMA-only, then +apply_tile, then full, on
-    tools/diag_s2fused.py.  The ~1.5 ms/apply it targets (stage-2
-    measured 2.5 ms vs its 0.46 ms bound) remains the top identified
-    single-chip headroom — BASELINE.md round-4.
+    the fault is root-caused.  BISECTED (same day, /tmp/probe_dma.py):
+    a bare single-window DMA roundtrip at these 4D shapes — copy
+    ``(3, t+2, 220, 128)`` from a row-slice of a ``(3, 62, 220, 128)``
+    HBM array — faults by itself (negative-parity candidate eliminated
+    first; tunnel recovered within minutes each probe).  The 4D manual
+    DMA is the culprit: every PROVEN async-copy in this file is 3D
+    ``(C, rows, lanes)``.  Fix for next session: flatten (y, z) into
+    ONE lane dim host-side — arrays become ``(C, 62, 220·128)``, the
+    window DMA becomes the proven 3D shape, z-shifts become lane shifts
+    of 1 and y-shifts lane shifts of 128 (the zero coefficient padding
+    already masks both the z-block seams and the 85→128 padding), and
+    parity masks come from lane-iota arithmetic.  The ~1.5 ms/apply it
+    targets (stage-2 measured 2.5 ms vs its 0.46 ms bound) remains the
+    top identified single-chip headroom — BASELINE.md round-4.
     """
     shape = st.grid_shape
     dim = len(shape)
