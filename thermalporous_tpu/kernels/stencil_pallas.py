@@ -432,25 +432,22 @@ def fused_block_rbgs(
     elsewhere.  sweeps>1 is out of scope by design (the production preset
     runs 1).
 
-    STATUS (2026-08-20): EXPERIMENTAL — exact in interpret mode and
-    compiles on axon after the 128-aligned-DMA fix, but the compiled
-    kernel FAULTED the TPU worker at runtime at full-SPE10 scale
-    (tools/diag_s2fused.py; "TPU worker process crashed"), so
-    ``CPRConfig.stage2_pallas`` stays default-False and un-preset until
-    the fault is root-caused.  BISECTED (same day, /tmp/probe_dma.py):
-    a bare single-window DMA roundtrip at these 4D shapes — copy
-    ``(3, t+2, 220, 128)`` from a row-slice of a ``(3, 62, 220, 128)``
-    HBM array — faults by itself (negative-parity candidate eliminated
-    first; tunnel recovered within minutes each probe).  The 4D manual
-    DMA is the culprit: every PROVEN async-copy in this file is 3D
-    ``(C, rows, lanes)``.  Fix for next session: flatten (y, z) into
-    ONE lane dim host-side — arrays become ``(C, 62, 220·128)``, the
-    window DMA becomes the proven 3D shape, z-shifts become lane shifts
-    of 1 and y-shifts lane shifts of 128 (the zero coefficient padding
-    already masks both the z-block seams and the 85→128 padding), and
-    parity masks come from lane-iota arithmetic.  The ~1.5 ms/apply it
-    targets (stage-2 measured 2.5 ms vs its 0.46 ms bound) remains the
-    top identified single-chip headroom — BASELINE.md round-4.
+    STATUS (2026-08-20, final): WORKS but wall-negative.  Two hardware
+    root-causes got it running: the original 4D manual-DMA window
+    faults the TPU worker at runtime (a bare roundtrip reproduced it),
+    so the kernel was rewritten on the lane-flattened lane-banded
+    layout below, with x padded to the 8-sublane multiple and z to the
+    128-lane block.  It now compiles and is EXACT at full-SPE10 scale
+    standalone AND in-loop (tools/diag_s2fused.py: rel 1.1e-07 /
+    1.5e-07) — but measures 7.84 ms/apply vs 5.67 for the jnp
+    two-stream form: the z-padding (128/85) and x-padding (64/60)
+    inflate its coefficient stream ~1.6x, the halo windows add serial
+    DMA, and Mosaic's generated code trails XLA's fusions on this
+    unrolled body.  ``CPRConfig.stage2_pallas`` therefore stays
+    default-False: stage 2's 2.5 ms vs its 0.46 ms bound remains open,
+    and the measured lesson is that closing it needs a layout with
+    NATIVE (y, z) tiling (e.g. a z-on-sublanes transpose), not
+    lane-flattening — BASELINE.md round-4.
     """
     shape = st.grid_shape
     dim = len(shape)
@@ -467,42 +464,68 @@ def fused_block_rbgs(
     coef = pack_block_stencil(st).astype(b.dtype)
     dinv_flat = dinv.reshape((nc * nc,) + shape).astype(b.dtype)
 
-    nx = shape[0]
-    rest_shape = shape[1:]
-    rest = math.prod(rest_shape)
+    nx, ny, nz = shape
+    # LANE-FLATTENED, LANE-BANDED layout.  Two hard Mosaic constraints met
+    # at once: (a) every proven async-copy here is 3D (C, rows, lanes) —
+    # the 4D window DMA faults the worker at runtime; (b) a blocked
+    # in_spec's second-to-last dim must be divisible by 8 or equal the
+    # full dim — nx=60 bands can't satisfy it, so the SUBLANE dim stays
+    # the FULL x extent and the kernel bands over LANES instead.  (y, z)
+    # flatten into the lane dim with z padded to a 128 block: x-shifts
+    # are row shifts (all rows resident), y-shifts lane shifts of Z,
+    # z-shifts lane shifts of 1; zero coefficient padding masks the
+    # z-block seams, the z padding columns, AND the y wrap at lane-band
+    # edges (the halo supplies real neighbor values there).
+    Z = -(-nz // 128) * 128
+    L = ny * Z
+    # DMA slices on the sublane (row) dim must be 8-aligned too — pad x
+    # with zero rows (zero coefficients/dinv there make them inert)
+    X = -(-nx // 8) * 8
     itemsize = jnp.dtype(b.dtype).itemsize
-    budget = 24 * 2**20
-    tile = None
-    for t in (32, 16, 12, 10, 8, 6, 5, 4, 3, 2, 1):
-        if nx % t:
+    budget = 60 * 2**20
+    lb = None
+    for cand in (2560, 1280, 640, 256, 128):
+        if L % cand:
             continue
-        per_band = (2 * K * t + (nc * nc + 2 * nc) * (t + 2) + nc * t
-                    ) * rest * itemsize
+        per_band = (2 * K * X * cand
+                    + (nc * nc + 2 * nc) * X * (cand + 2 * Z)
+                    + nc * X * cand) * itemsize
         if per_band <= budget:
-            tile = t
+            lb = cand
             break
-    if tile is None:
+    if lb is None:
         from thermalporous_tpu.precond.chebyshev import (
             block_red_black_gauss_seidel,
         )
 
         return block_red_black_gauss_seidel(st, dinv, b, None, sweeps=1)
 
-    h = 1
-    # manual-DMA slices must be 128-aligned on the lane dim (Mosaic:
-    # "Slice shape along dimension 3 must be aligned to tiling"), so the
-    # DMA'd arrays carry a zero-padded lane dim; kernels slice the real
-    # width back off the loaded window.
-    nz = rest_shape[-1]
-    nz_pad = -(-nz // 128) * 128
-    pad1 = ([(0, 0), (h, h)] + [(0, 0)] * (dim - 2)
-            + [(0, nz_pad - nz)])
-    b_p = jnp.pad(b, pad1)
-    dinv_p = jnp.pad(dinv_flat, pad1)
-    win_rest = rest_shape[:-1] + (nz_pad,)
+    def flat(a):
+        # (C, nx, ny, nz) -> (C, X, ny*Z): z zero-padded to the lane
+        # block, x zero-padded to the sublane multiple
+        a = jnp.pad(a, [(0, 0), (0, X - nx), (0, 0), (0, Z - nz)])
+        return a.reshape(a.shape[0], X, L)
+
+    coef_f = flat(coef)
+    # y-halo of one lane block on each side for the window DMAs
+    dinv_f = jnp.pad(flat(dinv_flat), [(0, 0), (0, 0), (Z, Z)])
+    b_f = jnp.pad(flat(b), [(0, 0), (0, 0), (Z, Z)])
+
+    def rshift_m(v):
+        # v[x+1] at x (rows = dim 1), zero at the end — the x+ neighbor
+        n = v.shape[1]
+        body_ = jax.lax.slice_in_dim(v, 1, n, axis=1)
+        zero = jnp.zeros_like(jax.lax.slice_in_dim(v, 0, 1, axis=1))
+        return jax.lax.concatenate([body_, zero], dimension=1)
+
+    def rshift_p(v):
+        n = v.shape[1]
+        body_ = jax.lax.slice_in_dim(v, 0, n - 1, axis=1)
+        zero = jnp.zeros_like(jax.lax.slice_in_dim(v, 0, 1, axis=1))
+        return jax.lax.concatenate([zero, body_], dimension=1)
 
     def block_solve(dwin, vwin):
-        # per-cell block multiply y_i = Σ_j dinv[i,j]·v_j on a window
+        # per-cell block multiply y_i = sum_j dinv[i,j]*v_j
         rows = []
         for i in range(nc):
             acc = dwin[i * nc + 0] * vwin[0]
@@ -511,14 +534,19 @@ def fused_block_rbgs(
             rows.append(acc)
         return jnp.stack(rows)
 
-    def apply_tile(c, vwin, t):
-        # y = A·v on the band rows; c (nco,nc,nc,t,*rest), vwin (nc,t+2,*rest)
-        vc = jax.lax.slice_in_dim(vwin, 1, 1 + t, axis=1)
-        vxp = jax.lax.slice_in_dim(vwin, 2, t + 2, axis=1)
-        vxm = jax.lax.slice_in_dim(vwin, 0, t, axis=1)
-        neigh = [(vxp, vxm)]
-        for a in range(1, dim):
-            neigh.append((_shift_m(vc, 1 + a), _shift_p(vc, 1 + a)))
+    def apply_flat(c, vwin):
+        # y = A*v on the lane band; c (nco,nc,nc,nx,lb); vwin
+        # (nc,nx,lb+2Z) with the band at lane offset Z.
+        width = vwin.shape[2]
+
+        def lanes(off):
+            return jax.lax.slice_in_dim(vwin, Z + off, Z + off + c.shape[4],
+                                        axis=2)
+
+        vc = lanes(0)
+        neigh = [(rshift_m(vc), rshift_p(vc)),     # x: row shifts
+                 (lanes(Z), lanes(-Z)),            # y: lane +-Z (halo'd)
+                 (lanes(1), lanes(-1))]            # z: lane +-1
         rows = []
         for i in range(nc):
             acc = c[0, i, 0] * vc[0]
@@ -532,65 +560,65 @@ def fused_block_rbgs(
             rows.append(acc)
         return jnp.stack(rows)
 
-    def parity_mask(i, t, win_rows):
-        # red = even (x+y+z) parity, on window rows [i·t − 1, i·t + t + 1).
-        # The +2 keeps the argument of % non-negative at the band-0 ghost
-        # row (i·t − h = −1): jnp follows Python's floored modulo but a
-        # lowered signed rem may be C-style (trunc) — an even offset
-        # preserves parity and sidesteps the question entirely.
-        gx = (jax.lax.broadcasted_iota(jnp.int32, (win_rows,) + rest_shape, 0)
-              + i * t - h + 2)
-        p = gx
-        for a in range(1, dim):
-            p = p + jax.lax.broadcasted_iota(
-                jnp.int32, (win_rows,) + rest_shape, a)
+    n_bands = L // lb
+
+    def parity_mask(i, width, lane0_off):
+        # red = even (x+y+z) parity on lanes [i*lb + lane0_off,
+        # i*lb + lane0_off + width) for every x row; y = lane//Z,
+        # z = lane%Z.  The +2Z keeps the argument non-negative at the
+        # band-0 halo (lowered signed rem may truncate C-style); adding
+        # an even multiple of Z never changes the parity of y + z.
+        gx = jax.lax.broadcasted_iota(jnp.int32, (X, width), 0)
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (X, width), 1)
+                + i * lb + lane0_off + 2 * Z)
+        p = gx + lane // Z + lane % Z
         return (p % 2 == 0)
 
     def kernel(c_ref, d_hbm, b_hbm, o_ref, dwin, bwin, sem_d, sem_b):
         i = pl.program_id(0)
-        t = o_ref.shape[1]
         cp_d = pltpu.make_async_copy(
-            d_hbm.at[(slice(None), pl.ds(i * t, t + 2 * h))], dwin, sem_d)
+            d_hbm.at[(slice(None), slice(None), pl.ds(i * lb, lb + 2 * Z))],
+            dwin, sem_d)
         cp_b = pltpu.make_async_copy(
-            b_hbm.at[(slice(None), pl.ds(i * t, t + 2 * h))], bwin, sem_b)
+            b_hbm.at[(slice(None), slice(None), pl.ds(i * lb, lb + 2 * Z))],
+            bwin, sem_b)
         cp_d.start()
         cp_b.start()
         cp_d.wait()
         cp_b.wait()
-        c = c_ref[...].reshape((nco, nc, nc, t) + rest_shape)
-        # slice the real lane width back off the 128-aligned DMA windows
-        dw = jax.lax.slice_in_dim(dwin[...], 0, nz, axis=dim)
-        bw = jax.lax.slice_in_dim(bwin[...], 0, nz, axis=dim)
-        red_w = parity_mask(i, t, t + 2 * h).astype(bw.dtype)
-        xr_win = red_w[None] * block_solve(dw, bw)      # (nc, t+2, rest)
-        ax = apply_tile(c, xr_win, t)                   # A·x_r on band rows
-        bc = jax.lax.slice_in_dim(bw, h, h + t, axis=1)
-        dc = jax.lax.slice_in_dim(dw, h, h + t, axis=1)
-        xr = jax.lax.slice_in_dim(xr_win, h, h + t, axis=1)
-        black_c = 1.0 - jax.lax.slice_in_dim(red_w, h, h + t, axis=0
+        c = c_ref[...].reshape((nco, nc, nc, X, lb))
+        dw = dwin[...]
+        bw = bwin[...]
+        red_w = parity_mask(i, lb + 2 * Z, -Z).astype(bw.dtype)
+        xr_win = red_w[None] * block_solve(dw, bw)      # (nc, nx, lb+2Z)
+        ax = apply_flat(c, xr_win)                      # A*x_r, band lanes
+        ctr = lambda v: jax.lax.slice_in_dim(v, Z, Z + lb, axis=2)
+        bc, dc, xr = ctr(bw), ctr(dw), ctr(xr_win)
+        black_c = 1.0 - jax.lax.slice_in_dim(red_w, Z, Z + lb, axis=1
                                              ).astype(bw.dtype)
         o_ref[...] = xr + black_c[None] * block_solve(dc, bc - ax)
 
-    return pl.pallas_call(
+    out_flat = pl.pallas_call(
         kernel,
-        grid=(nx // tile,),
-        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        grid=(n_bands,),
+        out_shape=jax.ShapeDtypeStruct((nc, X, L), b.dtype),
         in_specs=[
-            pl.BlockSpec((K, tile) + rest_shape,
-                         lambda i: (0, i) + (0,) * (dim - 1),
+            pl.BlockSpec((K, X, lb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((nc, tile) + rest_shape,
-                               lambda i: (0, i) + (0,) * (dim - 1),
+        out_specs=pl.BlockSpec((nc, X, lb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nc * nc, tile + 2 * h) + win_rest, b.dtype),
-            pltpu.VMEM((nc, tile + 2 * h) + win_rest, b.dtype),
+            pltpu.VMEM((nc * nc, X, lb + 2 * Z), b.dtype),
+            pltpu.VMEM((nc, X, lb + 2 * Z), b.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
         interpret=interpret,
-    )(coef, dinv_p, b_p)
+    )(coef_f, dinv_f, b_f)
+    out = jax.lax.slice_in_dim(out_flat, 0, nx, axis=1).reshape(
+        nc, nx, ny, Z)
+    return jax.lax.slice_in_dim(out, 0, nz, axis=3)
