@@ -130,9 +130,64 @@ def main():
         # iteration counts on the standalone system, wall inside tunnel
         # noise there, so the controller-driven horizon decides adoption)
         "fm-fuse": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # round-4: lane-padding probe — extend the grid to nz=128 with
+        # INERT layers (k=0 everywhere in z>=85: isolated, hydrostatic,
+        # zero-flow cells with real porosity so every block stays
+        # invertible).  Ragged z=85 lanes measured ~29-40% VPU overhead
+        # vs a full 128-lane minor dim while XLA already pads the
+        # storage (tools/probe_layout.py; BASELINE.md round-4).
+        # t_sim/wall is the honest metric (cu/s would count dead cells).
+        # MEASURED (2026-08-20): the naive inert-layer form STALLS Newton
+        # (16 N at the KSP cap, scaled norm stuck ~1e-3 from norm0 8e-3
+        # at dt=300 s where the real case needs 9 N) — k=0 cells with
+        # live conduction/accumulation degrade the CPTR decoupling or
+        # hierarchy in a way that needs true dead-cell (identity-row)
+        # treatment in the model before the layout win can be evaluated.
+        # Kept as the reproduction harness for that round-5 work.
+        "fm-pad128": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
+        model, data = case.model, case.data
+        data = jax.tree.map(
+            lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a,
+            data)
+        if "pad128" in name:
+            import numpy as np
+
+            from thermalporous_tpu.core import Grid
+            from thermalporous_tpu.data.spe10 import (
+                SPE10_SPACING_M,
+                synthetic_spe10,
+            )
+            from thermalporous_tpu.models import TwoPhaseModel, \
+                make_problem_data
+            from thermalporous_tpu.physics import PhysicalParams, Well
+
+            nx, ny, nz, nzp = 60, 220, 85, 128
+            pp = PhysicalParams()
+            f = synthetic_spe10(seed=2020)
+            padk = lambda a: np.pad(np.asarray(a),
+                                    [(0, 0), (0, 0), (0, nzp - nz)])
+            g = Grid(shape=(nx, ny, nzp), spacing=SPE10_SPACING_M,
+                     gravity=9.81, depth_top=3600.0 * 0.3048)
+            wells = [Well(cells=tuple((nx // 2, ny // 2, iz)
+                                      for iz in range(nz)),
+                          control="bhp", p_bh=4.0e7, T_inj=420.0)] + [
+                Well(cells=tuple((i, j, iz) for iz in range(nz)),
+                     control="bhp", p_bh=1.0e7)
+                for i, j in [(2, 2), (nx - 3, 2), (2, ny - 3),
+                             (nx - 3, ny - 3)]]
+            phi_pad = np.pad(np.asarray(f.phi),
+                             [(0, 0), (0, 0), (0, nzp - nz)],
+                             constant_values=0.2)
+            data = make_problem_data(
+                g, pp, kx=padk(f.kx), ky=padk(f.ky), kz=padk(f.kz),
+                phi=phi_pad, wells=wells)
+            data = jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "astype") else a, data)
+            model = TwoPhaseModel(g, pp, s_init=0.15)
         tc = TimeConfig(**{**tc_common, **variants[name]})
         nc = dataclasses.replace(ncfg, ksp_maxiter=24) if "m24" in name \
             else ncfg
