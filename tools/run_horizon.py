@@ -137,13 +137,13 @@ def main():
         # vs a full 128-lane minor dim while XLA already pads the
         # storage (tools/probe_layout.py; BASELINE.md round-4).
         # t_sim/wall is the honest metric (cu/s would count dead cells).
-        # MEASURED (2026-08-20): the naive inert-layer form STALLS Newton
-        # (16 N at the KSP cap, scaled norm stuck ~1e-3 from norm0 8e-3
-        # at dt=300 s where the real case needs 9 N) — k=0 cells with
-        # live conduction/accumulation degrade the CPTR decoupling or
-        # hierarchy in a way that needs true dead-cell (identity-row)
-        # treatment in the model before the layout win can be evaluated.
-        # Kept as the reproduction harness for that round-5 work.
+        # MEASURED (2026-08-20): STALLS Newton on axon (16 N at the KSP
+        # cap, norm stuck ~1e-3 at dt=300 s) while the SAME case at the
+        # SAME scale and dtype converges on CPU in 4 N / 5 ksp — a
+        # SIXTH axon miscompile family member: the (60,220,128) in-step
+        # program computes wrong numerics where (60,220,85) is exact
+        # (BASELINE.md round-4).  Kept as the TPU-vs-CPU reproduction
+        # harness; the layout lever is blocked on the backend.
         "fm-pad128": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
