@@ -104,7 +104,9 @@ def main():
         base = pc_cfg if pc_cfg is not None else CPRConfig()
         gmg = _dc.replace(
             base.gmg,
-            use_pallas=args.pallas_gmg,
+            # preserve a preset's use_pallas when the flag is absent (the
+            # replace block also triggers on --fuse-below etc. — ADVICE r4)
+            use_pallas=args.pallas_gmg or base.gmg.use_pallas,
             cycle_type=args.cycle or base.gmg.cycle_type,
             fuse_below=(args.fuse_below if args.fuse_below is not None
                         else base.gmg.fuse_below),

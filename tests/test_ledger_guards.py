@@ -66,6 +66,24 @@ def test_stencil_pallas_warns_at_scale(axon_backend):
         check_axon_ledger(FLAGSHIP_CELLS, krylov_op="stencil_pallas")
 
 
+def test_stage2_pallas_warns_at_scale(axon_backend):
+    # ADVICE r4: parity of treatment with krylov_op='stencil_pallas' —
+    # the fused RBGS kernel's padded lane layout at scale gets a loud flag
+    cfg = CPRConfig(stage2="rbgs", stage2_pallas=True)
+    with pytest.warns(UserWarning, match="stage2_pallas"):
+        check_axon_ledger(FLAGSHIP_CELLS, pc_cfg=cfg)
+
+
+def test_stage2_pallas_silent_below_scale_and_on_cpu():
+    import warnings as _w
+
+    cfg = CPRConfig(stage2="rbgs", stage2_pallas=True)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        check_axon_ledger(262_144, pc_cfg=cfg)   # below scale (CPU backend)
+        check_axon_ledger(FLAGSHIP_CELLS, pc_cfg=cfg)  # CPU backend
+
+
 def test_batch_pt_setup_refused_at_scale(axon_backend, rng):
     import jax.numpy as jnp
 

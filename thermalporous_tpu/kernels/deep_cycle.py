@@ -273,7 +273,11 @@ def _correction_math(levels, inv, rc, *, degree, lam_min_frac, cycle_type,
 
 def subtree_vmem_bytes(stencils, coarse_inv) -> int:
     """Static VMEM estimate of a fused subtree (inputs + working set)."""
-    itemsize = 4  # kernel computes in f32
+    # size the estimate at the stencils' actual dtype (the kernel computes
+    # at rc.dtype): an f64 subtree occupies 2x the f32 bytes, and an
+    # undercounted estimate could pass _fusable yet blow the 120 MiB
+    # scoped-VMEM request at compile time (ADVICE r4)
+    itemsize = max(jnp.dtype(st.diag.dtype).itemsize for st in stencils)
     total = coarse_inv.size * itemsize
     for st in stencils:
         n = math.prod(st.grid_shape)

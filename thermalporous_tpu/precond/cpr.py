@@ -185,6 +185,13 @@ def _tpu_at_scale(n_cells: int) -> bool:
     # the ledger entries were measured via the axon tunnel; the failures
     # are XLA:TPU/Mosaic lowering artifacts, so a native "tpu" backend is
     # conservatively included.  CPU (tests, oracles) is unaffected.
+    # ASSUMPTION (ADVICE r4): the guard keys off the DEFAULT backend — a
+    # process whose default is CPU but which explicitly places the jitted
+    # step on a TPU device (jit(..., device=...) / jax.default_device)
+    # bypasses it.  Probing non-default backends here is not safe (it can
+    # hang on the axon tunnel when it is down), so that corner stays the
+    # user's responsibility; every shipped entry point (bench, run_case,
+    # horizon tools) runs with the TPU as the default backend.
     return n_cells >= LEDGER_SCALE_CELLS and _backend() in ("axon", "tpu")
 
 
@@ -228,6 +235,23 @@ def check_axon_ledger(
                 "ledger) and is conservatively refused.  Use "
                 "pc_lag='every'."
             )
+    if pc_cfg is not None and pc_cfg.stage2_pallas:
+        # parity of treatment with krylov_op='stencil_pallas' below
+        # (ADVICE r4): the fused RBGS kernel is measured EXACT at
+        # full-SPE10 scale in-loop, but it relies on a z-padded-to-128
+        # lane layout on a backend with a grid-shape-dependent miscompile
+        # family (BASELINE.md round-4 stage-2 saga + sixth family), and
+        # it is wall-negative (7.84 vs 5.67 ms/apply) — flag its use
+        # at scale loudly.
+        warnings.warn(
+            "stage2_pallas=True on the axon/TPU backend at >=0.5M cells: "
+            "measured exact in-loop at full-SPE10 scale but wall-negative "
+            "(BASELINE.md round-4 stage-2 ledger), and its padded lane "
+            "layout is in the sixth (grid-shape-dependent) miscompile "
+            "family's neighborhood — verify trajectories against the jnp "
+            "form.",
+            stacklevel=3,
+        )
     if krylov_op == "stencil_pallas":
         # NOT an error: round-3 re-measurement found the production Newton
         # step exact under this operator (BASELINE.md "stencil_pallas
