@@ -69,6 +69,12 @@ def main():
                    help="end-of-run material/energy balance audit "
                         "(host-loop runs; measures solver-tolerance drift)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--qualify", action="store_true",
+                   help="shape-qualification preflight: run a short warmed "
+                        "Newton ramp on this backend AND a CPU reference "
+                        "subprocess and compare Newton/FGMRES counts "
+                        "(CLAUDE.md sixth miscompile family; exits 1 on "
+                        "mismatch)")
     args = p.parse_args()
 
     import jax
@@ -88,6 +94,12 @@ def main():
         for name, desc in sorted(CASE_DESCRIPTIONS.items()):
             print(f"{name:24s} {desc}")
         return
+
+    if args.qualify:
+        from thermalporous_tpu.qualify import qualify_case
+
+        ok = qualify_case(args.case, dt0=args.dt0)
+        raise SystemExit(0 if ok else 1)
 
     case = get_case(args.case)
     print(f"# {case.name}: {case.description}")

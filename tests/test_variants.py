@@ -605,3 +605,160 @@ def test_gmg_t_rejects_batch_pt():
                    gmg_t=GMGConfig(cycle_type="v"))
     with pytest.raises(ValueError, match="batch_pt requires gmg_t"):
         cpr_setup(st, pc)
+
+
+# ---------------------------------------------- round-5 stage-2 exact levers
+#
+# VERDICT r4 next-#1: the stage-2 traffic reformulations must be EXACT —
+# column-restricted r − A·x₁ (stencil.matvec_cols) and the fused zero-start
+# RBGS sweep (chebyshev.block_rbgs_fused_zero).  These tests pin the
+# bit-level algebra on random operators and the full solver on the oracle.
+
+
+def _random_block_stencil(rng, shape, nc=3, dtype=jnp.float64):
+    """Diagonally-dominant random block stencil with the zero-boundary
+    face convention."""
+    import numpy as _np
+
+    def face(a):
+        f = rng.standard_normal((nc, nc) + shape)
+        idx = _np.arange(shape[a]).reshape(
+            tuple(shape[a] if i == a else 1 for i in range(len(shape))))
+        return f * (idx < shape[a] - 1)
+
+    uppers = [face(a) for a in range(len(shape))]
+    lowers = [_np.roll(u, 1, axis=2 + a) * 0.7 for a, u in enumerate(uppers)]
+    diag = rng.standard_normal((nc, nc) + shape)
+    for i in range(nc):
+        diag[i, i] += 4.0 * (2 * len(shape) + nc)
+    from thermalporous_tpu.core.stencil import BlockStencil
+
+    return BlockStencil(
+        diag=jnp.asarray(diag, dtype),
+        upper=tuple(jnp.asarray(u, dtype) for u in uppers),
+        lower=tuple(jnp.asarray(l, dtype) for l in lowers),
+    )
+
+
+@pytest.mark.parametrize("shape", [(7, 6), (5, 6, 4)])
+def test_matvec_cols_bit_exact(rng, shape):
+    """matvec_cols(v, k) ≡ matvec([v; 0]) bitwise (the elided columns
+    multiply exact zeros in the same summation order)."""
+    st = _random_block_stencil(rng, shape)
+    for k in (1, 2):
+        v = jnp.asarray(rng.standard_normal((k,) + shape))
+        full = jnp.zeros((3,) + shape, v.dtype).at[0:k].set(v)
+        got = np.asarray(st.matvec_cols(v, k))
+        want = np.asarray(st.matvec(full))
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape", [(7, 6), (5, 6, 4)])
+def test_matvec_offdiag_matches(rng, shape):
+    """matvec_offdiag ≡ matvec − D·v (tight float tolerance: the two sides
+    accumulate the same terms, minus the diagonal, in the same order)."""
+    from thermalporous_tpu.core.stencil import apply_blocks
+
+    st = _random_block_stencil(rng, shape)
+    v = jnp.asarray(rng.standard_normal((3,) + shape))
+    got = np.asarray(st.matvec_offdiag(v))
+    want = np.asarray(st.matvec(v) - apply_blocks(st.diag, v))
+    np.testing.assert_allclose(got, want, rtol=1e-13,
+                               atol=1e-13 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("shape", [(7, 6), (5, 6, 4)])
+def test_block_rbgs_fused_zero_bit_exact(rng, shape):
+    """The fused zero-start sweep ≡ the looped one-sweep form (proof in the
+    block_rbgs_fused_zero docstring: both elisions remove exact zeros)."""
+    from thermalporous_tpu.core.stencil import invert_blocks
+    from thermalporous_tpu.precond.chebyshev import (
+        _checkerboard,
+        block_red_black_gauss_seidel,
+        block_rbgs_fused_zero,
+    )
+
+    st = _random_block_stencil(rng, shape)
+    dinv = invert_blocks(st.diag)
+    b = jnp.asarray(rng.standard_normal((3,) + shape))
+    red = _checkerboard(shape, b.dtype)
+    want = np.asarray(block_red_black_gauss_seidel(st, dinv, b, sweeps=1))
+    got = np.asarray(block_rbgs_fused_zero(
+        st, red * dinv, (1.0 - red) * dinv, b))
+    np.testing.assert_allclose(got, want, rtol=1e-14,
+                               atol=1e-14 * np.abs(want).max())
+
+
+def test_stage2_levers_apply_identical(rng):
+    """cpr_apply with stage2_cols + stage2_fused reproduces the baseline
+    apply on a real two-phase Jacobian stencil, for CPTR (k=2) and CPR
+    (k=1), including the sweeps=2 looped continuation."""
+    from thermalporous_tpu.precond.cpr import cpr_apply, cpr_setup
+
+    model, data = _tp_case(n=6)
+    u = model.initial_state(data)
+    st = model.assemble_stencil(u, u, jnp.asarray(3600.0, u.dtype), data)
+    r = jnp.asarray(rng.standard_normal((3,) + st.grid_shape))
+    for variant in ("cptr", "cpr"):
+        for sweeps in (1, 2):
+            base = CPRConfig(variant=variant, stage2="rbgs",
+                             stage2_sweeps=sweeps)
+            fast = dataclasses.replace(base, stage2_cols=True,
+                                       stage2_fused=True)
+            want = np.asarray(cpr_apply(cpr_setup(st, base), r, base))
+            got = np.asarray(cpr_apply(cpr_setup(st, fast), r, fast))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-12, atol=1e-12 * np.abs(want).max()), (
+                variant, sweeps)
+
+
+def test_stage2_cols_block_jacobi_and_zebra(rng):
+    """stage2_cols also serves the block_jacobi and zebra stage-2 forms
+    (the residual path is shared)."""
+    from thermalporous_tpu.precond.cpr import cpr_apply, cpr_setup
+
+    model, data = _tp_case(n=6)
+    u = model.initial_state(data)
+    st = model.assemble_stencil(u, u, jnp.asarray(3600.0, u.dtype), data)
+    r = jnp.asarray(rng.standard_normal((3,) + st.grid_shape))
+    for stage2 in ("block_jacobi", "zebra"):
+        base = CPRConfig(stage2=stage2)
+        fast = dataclasses.replace(base, stage2_cols=True)
+        want = np.asarray(cpr_apply(cpr_setup(st, base), r, base))
+        got = np.asarray(cpr_apply(cpr_setup(st, fast), r, fast))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-12, atol=1e-12 * np.abs(want).max()), stage2
+
+
+def test_stage2_cols_disabled_with_s_stage(rng):
+    """With a saturation stage x₁ has full support — the apply must fall
+    back to the full matvec and still match the baseline."""
+    from thermalporous_tpu.precond.cpr import cpr_apply, cpr_setup
+
+    model, data = _tp_case(n=6)
+    u = model.initial_state(data)
+    st = model.assemble_stencil(u, u, jnp.asarray(3600.0, u.dtype), data)
+    r = jnp.asarray(rng.standard_normal((3,) + st.grid_shape))
+    base = CPRConfig(stage2="rbgs", s_stage="rbgs")
+    fast = dataclasses.replace(base, stage2_cols=True, stage2_fused=True)
+    want = np.asarray(cpr_apply(cpr_setup(st, base), r, base))
+    got = np.asarray(cpr_apply(cpr_setup(st, fast), r, fast))
+    np.testing.assert_allclose(got, want, rtol=1e-12,
+                               atol=1e-12 * np.abs(want).max())
+
+
+def test_cptr_stage2_levers_match_oracle():
+    """Full Newton solve with both stage-2 levers reproduces the f64 dense
+    oracle (they are exact reformulations, so identical trajectories)."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0, 7200.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(
+        model, data, precond="cptr",
+        pc_cfg=CPRConfig(stage2="rbgs", stage2_cols=True, stage2_fused=True),
+        newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, u_ref)

@@ -52,6 +52,40 @@ class BlockStencil:
             y = y + apply_blocks(lo, shift_plus(v, a, lead=1))
         return y
 
+    def matvec_cols(self, v: jax.Array, k: int) -> jax.Array:
+        """Apply only the first ``k`` block COLUMNS to ``v`` of shape (k, *shape).
+
+        Exactly ``A @ [v; 0]`` for a vector whose trailing nc−k components
+        are zero — the elided columns would multiply exact zeros, so the
+        result is bit-identical while streaming k/nc of every coefficient
+        array.  Stage-2 use (VERDICT r4 next-#1a): CPR/CPTR's x₁ has
+        support only on the stage-1 unknowns when ``s_stage == "none"``,
+        so the stage-2 residual r − A·x₁ needs only block columns 0:k.
+        Indexing is the scalar per-entry pattern of :func:`apply_blocks`
+        (NOT a 2-axis slice view — the axon miscompile family 1).
+        """
+        y = _apply_block_cols(self.diag, v)
+        for a, (up, lo) in enumerate(zip(self.upper, self.lower)):
+            y = y + _apply_block_cols(up, shift_minus(v, a, lead=1))
+            y = y + _apply_block_cols(lo, shift_plus(v, a, lead=1))
+        return y
+
+    def matvec_offdiag(self, v: jax.Array) -> jax.Array:
+        """The matvec WITHOUT the diagonal-block term (neighbour coupling only).
+
+        Red-black half-sweep use (VERDICT r4 next-#1): a color's update
+        needs (b − A·x) only at that color's cells, where x is supported
+        on the OTHER color — there the diagonal term D·x is exactly zero,
+        so eliding it is bit-identical under the color mask and saves the
+        diag coefficient stream.
+        """
+        y = apply_blocks(self.upper[0], shift_minus(v, 0, lead=1))
+        y = y + apply_blocks(self.lower[0], shift_plus(v, 0, lead=1))
+        for a in range(1, len(self.upper)):
+            y = y + apply_blocks(self.upper[a], shift_minus(v, a, lead=1))
+            y = y + apply_blocks(self.lower[a], shift_plus(v, a, lead=1))
+        return y
+
     def scalar(self, row: int, col: int) -> "ScalarStencil":
         """Extract the scalar sub-stencil of one (equation, unknown) pair."""
         return ScalarStencil(
@@ -239,6 +273,20 @@ def invert_blocks(d: jax.Array) -> jax.Array:
     inv = jnp.linalg.inv(jnp.transpose(d, perm))
     back = (d.ndim - 2, d.ndim - 1) + tuple(range(d.ndim - 2))
     return jnp.transpose(inv, back)
+
+
+def _apply_block_cols(w: jax.Array, v: jax.Array) -> jax.Array:
+    """Apply the first ``v.shape[0]`` block columns of ``w`` (nc, nc, *shape)
+    to a (k, *shape) vector — all nc rows out (see BlockStencil.matvec_cols)."""
+    nc = w.shape[0]
+    k = v.shape[0]
+    rows = []
+    for i in range(nc):
+        acc = w[i, 0] * v[0]
+        for c in range(1, k):
+            acc = acc + w[i, c] * v[c]
+        rows.append(acc)
+    return jnp.stack(rows)
 
 
 def apply_blocks(w: jax.Array, v: jax.Array) -> jax.Array:

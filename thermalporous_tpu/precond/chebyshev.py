@@ -290,6 +290,41 @@ def block_red_black_gauss_seidel(
     return jax.lax.fori_loop(0, sweeps, body, x)
 
 
+def block_rbgs_fused_zero(
+    st: BlockStencil,
+    dinv_red: jax.Array,
+    dinv_black: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """One zero-start block-RBGS sweep with setup-premasked diagonal inverses.
+
+    Bit-identical to ``block_red_black_gauss_seidel(st, dinv, b, sweeps=1)``
+    (VERDICT r4 next-#1; proof in the two elisions below) at ~40% of its
+    coefficient traffic:
+
+    - **red half**: the looped body computes ``red·D⁻¹(b − A·0)`` — a full
+      63-field coefficient stream multiplied by exact zeros.  Here the
+      first matvec is gone and the mask is baked into ``dinv_red = red·D⁻¹``
+      at SETUP time, so ``x_red = dinv_red·b`` (masking a linear operator's
+      coefficients equals masking its output, and the elided A·0 terms were
+      exact zeros).
+    - **black half**: ``x_red`` is supported on red cells only, so at every
+      black cell the diagonal term D·x_red of the residual matvec is an
+      exact zero — ``b − A_off·x_red`` there is bit-identical to
+      ``b − A·x_red``, and red cells are killed by ``dinv_black`` exactly
+      as the looped form's ``black`` mask kills them.  The diag stream
+      (9 of 63 fields) is elided.
+
+    DELIBERATELY a different HLO shape from the ledgered family-5
+    miscompile (BASELINE.md round-4: the unrolled ``x = red*dinv(b)``
+    masked half-sweep): no in-apply mask multiply, no zero matvec, no
+    fori_loop.  In-step axon validation at scale is still mandatory
+    before production use (tools/qualify_shape.py).
+    """
+    x_red = apply_blocks(dinv_red, b)
+    return x_red + apply_blocks(dinv_black, b - st.matvec_offdiag(x_red))
+
+
 def block_tridiag_factor(
     axis: int,
     lower: jax.Array,

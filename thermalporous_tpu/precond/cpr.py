@@ -69,6 +69,20 @@ class CPRConfig:
     # its unrolled jnp form miscompiles on axon — BASELINE.md round-4
     # ledger).  3D + sweeps=1 only; transparent jnp fallback elsewhere.
     stage2_pallas: bool = False
+    # Exact stage-2 traffic levers (VERDICT r4 next-#1, round 5).  Both are
+    # BIT-exact reformulations (proofs in core/stencil.py matvec_cols /
+    # precond/chebyshev.py block_rbgs_fused_zero):
+    # stage2_cols — the stage-2 residual r − A·x₁ streams only the block
+    #   COLUMNS x₁ is supported on (0:2 for CPTR, 0:1 for CPR) when
+    #   s_stage == "none" leaves the trailing components of x₁ at zero;
+    #   cuts 1/3 of that matvec's coefficient bytes.
+    stage2_cols: bool = False
+    # stage2_fused — stage2="rbgs", first sweep only: zero-start sweep via
+    #   setup-premasked D⁻¹ halves (the looped body's A·0 matvec and the
+    #   black half's diag stream are elided; extra sweeps continue in the
+    #   looped form).  Deliberately a different HLO shape from the
+    #   family-5 ledger entry; qualify any new scale on axon first.
+    stage2_fused: bool = False
     stage2_axis: int = 1             # zebra line axis (1 = SPE10 channel y)
     stage2_omega: float = 1.0        # zebra under-relaxation (stability at
                                      # extreme contrast; measured ledger in
@@ -328,6 +342,9 @@ class CPRState:
     zebra_fac: tuple | None = None
     # coupled block hierarchy for stage2="bgmg" (precond/block_gmg.py)
     bgmg: object | None = None
+    # setup-premasked D⁻¹ color halves for stage2_fused (red·D⁻¹, black·D⁻¹)
+    dinv_red: jax.Array | None = None
+    dinv_black: jax.Array | None = None
 
 
 def _decoupling_weights(
@@ -433,6 +450,12 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
 
         bgmg = block_gmg_setup(
             stencil, cfg.gmg, max_coarse_cells=cfg.bgmg_coarse_cells)
+    dinv_red = dinv_black = None
+    if cfg.stage2 == "rbgs" and cfg.stage2_fused:
+        from thermalporous_tpu.precond.chebyshev import _checkerboard
+
+        red = _checkerboard(stencil.grid_shape, dinv.dtype)
+        dinv_red, dinv_black = red * dinv, (1.0 - red) * dinv
     if cfg.pc_dtype != "f32":
         # Cast ONLY the stored coefficients (see CPRConfig.pc_dtype): setup
         # ran in full precision above, applies still do f32 vector math.
@@ -444,6 +467,7 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
         cast = _cast_floats(jnp.bfloat16)
         if cfg.pc_dtype in ("bf16", "bf16_s2"):
             stencil, dinv = cast(stencil), cast(dinv)
+            dinv_red, dinv_black = cast(dinv_red), cast(dinv_black)
             if bgmg is not None:
                 bgmg = dataclasses.replace(
                     bgmg, stencils=cast(bgmg.stencils),
@@ -460,7 +484,7 @@ def cpr_setup(stencil: BlockStencil, cfg: CPRConfig = CPRConfig()) -> CPRState:
     return CPRState(
         stencil=stencil, dinv=dinv, w=w, gmg_p=gmg_p, gmg_t=gmg_t, a_tp=a_tp,
         pt=pt, a_sp=a_sp, a_st=a_st, a_ss=a_ss, zebra_fac=zebra_fac,
-        bgmg=bgmg,
+        bgmg=bgmg, dinv_red=dinv_red, dinv_black=dinv_black,
     )
 
 
@@ -531,6 +555,7 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
         else:
             e_pt = _stage1_pt(state, r_pt, cfg)
         x1 = jnp.zeros_like(r).at[0:2].set(e_pt)
+        x1_active, k_active = e_pt, 2
         if state.a_ss is not None:
             # saturation leg of the triangular stage 1 (CPTRS): correct
             # the S residual through the S←(p,T) couplings, then smooth
@@ -539,47 +564,63 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
                    - state.a_st.matvec(e_pt[1]))
             e_s = _s_smooth(state.a_ss, r_s, cfg)
             x1 = x1.at[2].set(e_s)
+            x1_active, k_active = None, None   # x₁ now has full support
     else:
         e_p = gmg_apply(state.gmg_p, w[0], cfg.gmg)
         x1 = jnp.zeros_like(r).at[0].set(e_p)
+        x1_active, k_active = e_p[None], 1
 
     # stage 2: multiplicative smoother correction on the full system
+    if cfg.stage2 == "none":
+        return x1
+    if cfg.stage2 not in ("block_jacobi", "rbgs", "zebra", "bgmg"):
+        raise ValueError(f"unknown stage2 {cfg.stage2!r}")
+    # stage-2 residual r − A·x₁: when x₁'s trailing components are zero
+    # (s_stage == "none"), stream only the block columns it is supported
+    # on — bit-exact (stencil.matvec_cols docstring; VERDICT r4 next-#1a)
+    if (cfg.stage2_cols and k_active is not None
+            and k_active < state.stencil.nc):
+        r2 = r - state.stencil.matvec_cols(x1_active, k_active)
+    else:
+        r2 = r - state.stencil.matvec(x1)
     if cfg.stage2 == "block_jacobi":
-        return x1 + apply_blocks(state.dinv, r - state.stencil.matvec(x1))
+        return x1 + apply_blocks(state.dinv, r2)
     if cfg.stage2 == "rbgs":
         from thermalporous_tpu.precond.chebyshev import (
             block_red_black_gauss_seidel,
+            block_rbgs_fused_zero,
         )
 
-        r2 = r - state.stencil.matvec(x1)
         if (cfg.stage2_pallas and cfg.stage2_sweeps == 1
                 and len(state.stencil.grid_shape) == 3):
             from thermalporous_tpu.kernels import fused_block_rbgs
 
             return x1 + fused_block_rbgs(state.stencil, state.dinv, r2)
+        if cfg.stage2_fused:
+            x2 = block_rbgs_fused_zero(
+                state.stencil, state.dinv_red, state.dinv_black, r2)
+            if cfg.stage2_sweeps > 1:
+                x2 = block_red_black_gauss_seidel(
+                    state.stencil, state.dinv, r2, x=x2,
+                    sweeps=cfg.stage2_sweeps - 1)
+            return x1 + x2
         return x1 + block_red_black_gauss_seidel(
             state.stencil, state.dinv, r2, sweeps=cfg.stage2_sweeps
         )
     if cfg.stage2 == "zebra":
         from thermalporous_tpu.precond.chebyshev import block_zebra_line_gs
 
-        r2 = r - state.stencil.matvec(x1)
         return x1 + block_zebra_line_gs(
             state.stencil, r2, axis=cfg.stage2_axis,
             sweeps=cfg.stage2_sweeps, omega=cfg.stage2_omega,
             factor=state.zebra_fac,
         )
-    if cfg.stage2 == "bgmg":
-        from thermalporous_tpu.precond.block_gmg import block_gmg_apply
+    from thermalporous_tpu.precond.block_gmg import block_gmg_apply
 
-        r2 = r - state.stencil.matvec(x1)
-        return x1 + block_gmg_apply(
-            state.bgmg, r2, cfg.gmg,
-            sweeps=cfg.stage2_sweeps, cycles=cfg.bgmg_cycles,
-        )
-    if cfg.stage2 != "none":
-        raise ValueError(f"unknown stage2 {cfg.stage2!r}")
-    return x1
+    return x1 + block_gmg_apply(
+        state.bgmg, r2, cfg.gmg,
+        sweeps=cfg.stage2_sweeps, cycles=cfg.bgmg_cycles,
+    )
 
 
 # ---------------------------------------------------------------- registry

@@ -358,6 +358,58 @@ def tp_spe10_full(seed: int = 2020) -> Case:
     )
 
 
+def tp_spe10_padded(nz_pad: int = 128, seed: int = 2020) -> Case:
+    """Flagship grid padded to ``nz_pad`` z-layers with INERT cells
+    (diagnostic preset — the sixth-miscompile-family probe).
+
+    The pad layers have k=0 (isolated, no-flow) but REAL porosity, so every
+    accumulation block stays invertible and the active 60×220×85 physics is
+    bit-for-bit the flagship's; wells perforate only the active layers.
+    Motivation: ragged z=85 lanes measured ~29% MORE VPU wall than a full
+    128-lane minor dim at 1.5× the cells (BASELINE.md round-4
+    lane-raggedness) — but the (60,220,128) in-step program MISCOMPILES on
+    axon (Newton stalls at the KSP cap; CPU same scale/dtype converges in
+    4 N / 5 ksp).  Use ``tools/qualify_shape.py`` (or ``run_case.py
+    --qualify``) to test any nz against the CPU reference before trusting
+    it; t_sim/wall is the honest metric on padded runs (cu/s would count
+    dead cells).
+    """
+    nx, ny, nz = 60, 220, 85
+    if nz_pad < nz:
+        raise ValueError(f"nz_pad={nz_pad} < active nz={nz}")
+    base = tp_spe10_full(seed=seed)
+    if nz_pad == nz:
+        return base
+    pp = PhysicalParams()
+    fields = synthetic_spe10(seed=seed)
+    pad = [(0, 0), (0, 0), (0, nz_pad - nz)]
+    padk = lambda a: np.pad(np.asarray(a), pad)           # k=0 in the pad
+    phi_pad = np.pad(np.asarray(fields.phi), pad, constant_values=0.2)
+    g = Grid(shape=(nx, ny, nz_pad), spacing=SPE10_SPACING_M, gravity=9.81,
+             depth_top=3600.0 * 0.3048)
+    wells = [
+        Well(cells=tuple((nx // 2, ny // 2, iz) for iz in range(nz)),
+             control="bhp", p_bh=4.0e7, T_inj=420.0, name="INJ"),
+    ] + [
+        Well(cells=tuple((i, j, iz) for iz in range(nz)),
+             control="bhp", p_bh=1.0e7, name=f"P_{i}_{j}")
+        for i, j in [(2, 2), (nx - 3, 2), (2, ny - 3), (nx - 3, ny - 3)]
+    ]
+    data = make_problem_data(
+        g, pp, kx=padk(fields.kx), ky=padk(fields.ky), kz=padk(fields.kz),
+        phi=phi_pad, wells=wells,
+    )
+    return dataclasses.replace(
+        base,
+        name=f"tp_spe10_pad{nz_pad}",
+        description=(f"flagship z-padded to {nz_pad} inert layers "
+                     f"(60x220x{nz_pad}; diagnostic)"),
+        model=TwoPhaseModel(g, pp, s_init=0.15),
+        data=data,
+        well_masks=per_well_masks(g, wells),
+    )
+
+
 def tp_spe10_inner(seed: int = 2020) -> Case:
     """The literal [P2] §5 configuration: CPTR with INNER iterations on the
     decoupled (p,T) subsystem (2 inner FGMRES iterations per outer
@@ -391,6 +443,7 @@ PRESETS = {
     "tp_spe10_3d": tp_spe10_3d,
     "tp_spe10_full": tp_spe10_full,
     "tp_spe10_inner": tp_spe10_inner,
+    "tp_spe10_padded": tp_spe10_padded,
 }
 
 # static descriptions (listing cases must not construct their fields)
@@ -402,6 +455,8 @@ CASE_DESCRIPTIONS = {
     "tp_spe10_3d": "3D two-phase SPE10-subset thermal flood (60x110x16)",
     "tp_spe10_full": "FULL SPE10-size two-phase thermal (60x220x85, 3.37M dof)",
     "tp_spe10_inner": "FULL SPE10-size, [P2]-faithful inner-iteration CPTR",
+    "tp_spe10_padded": "flagship z-padded with inert layers (diagnostic; "
+                       "qualify_shape probe)",
 }
 
 

@@ -147,6 +147,13 @@ def main():
                                       _gmg_t=dict(fuse_below=40000,
                                                   use_pallas=True),
                                       _pc=dict(pc_dtype="bf16")),
+        # round-5: EXACT stage-2 traffic levers (VERDICT r4 next-#1a;
+        # cpr.py stage2_cols/stage2_fused — iteration counts must be
+        # IDENTICAL to r4prod, only the wall may move)
+        "s2cols": dict(_keep_t=True, _pc=dict(stage2_cols=True)),
+        "s2fused": dict(_keep_t=True, _pc=dict(stage2_fused=True)),
+        "s2both": dict(_keep_t=True, _pc=dict(stage2_cols=True,
+                                              stage2_fused=True)),
     }
 
     for tag, over in variants.items():

@@ -123,6 +123,21 @@ def main():
                 return r + block_red_black_gauss_seidel(
                     st, dinv, r2, sweeps=pc.stage2_sweeps)
             return loop(k, s2, f)
+        # stage 2 with the round-5 exact levers (cols-restricted residual
+        # matvec + fused zero-start sweep with premasked D⁻¹ halves)
+        def p_s2x(st, f, k, pc=pc):
+            from thermalporous_tpu.precond.chebyshev import (
+                _checkerboard,
+                block_rbgs_fused_zero,
+            )
+
+            dinv = st.diag_inverse()
+            red = _checkerboard(st.grid_shape, f.dtype)
+            dr, db = red * dinv, (1.0 - red) * dinv
+            def s2(r):
+                r2 = r - st.matvec_cols(r[0:2], 2)
+                return r + block_rbgs_fused_zero(st, dr, db, r2)
+            return loop(k, s2, f)
         # fine-level deg-4 chebyshev smooth alone (p block, L0)
         def p_smooth(st, f, k, pc=pc):
             w = _decoupling_weights(st, pc)
@@ -141,6 +156,7 @@ def main():
                            ("gmg_p alone", p_gp2),
                            ("gmg_t alone", p_gt),
                            ("stage2 rbgs", p_s2),
+                           ("stage2 rbgs cols+fused", p_s2x),
                            ("L0 deg-4 smooth (p)", p_smooth)):
             s = slope(prog)
             print(f"  {name:24s} {s*1e3:7.2f} ms/apply", flush=True)

@@ -145,6 +145,10 @@ def main():
         # (BASELINE.md round-4).  Kept as the TPU-vs-CPU reproduction
         # harness; the layout lever is blocked on the backend.
         "fm-pad128": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # round-5: exact stage-2 traffic levers (stage2_cols +
+        # stage2_fused — bit-exact reformulations, so the trajectory must
+        # reproduce fm06vs; the wall is the A/B)
+        "fm-s2x": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -152,43 +156,20 @@ def main():
         data = jax.tree.map(
             lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a,
             data)
-        if "pad128" in name:
-            import numpy as np
+        if "pad" in name and name.split("pad")[-1].isdigit():
+            # inert-z-padded flagship (round-5: construction lives in
+            # presets.tp_spe10_padded; "fm-pad128" etc.)
+            from thermalporous_tpu.presets import tp_spe10_padded
 
-            from thermalporous_tpu.core import Grid
-            from thermalporous_tpu.data.spe10 import (
-                SPE10_SPACING_M,
-                synthetic_spe10,
-            )
-            from thermalporous_tpu.models import TwoPhaseModel, \
-                make_problem_data
-            from thermalporous_tpu.physics import PhysicalParams, Well
-
-            nx, ny, nz, nzp = 60, 220, 85, 128
-            pp = PhysicalParams()
-            f = synthetic_spe10(seed=2020)
-            padk = lambda a: np.pad(np.asarray(a),
-                                    [(0, 0), (0, 0), (0, nzp - nz)])
-            g = Grid(shape=(nx, ny, nzp), spacing=SPE10_SPACING_M,
-                     gravity=9.81, depth_top=3600.0 * 0.3048)
-            wells = [Well(cells=tuple((nx // 2, ny // 2, iz)
-                                      for iz in range(nz)),
-                          control="bhp", p_bh=4.0e7, T_inj=420.0)] + [
-                Well(cells=tuple((i, j, iz) for iz in range(nz)),
-                     control="bhp", p_bh=1.0e7)
-                for i, j in [(2, 2), (nx - 3, 2), (2, ny - 3),
-                             (nx - 3, ny - 3)]]
-            phi_pad = np.pad(np.asarray(f.phi),
-                             [(0, 0), (0, 0), (0, nzp - nz)],
-                             constant_values=0.2)
-            data = make_problem_data(
-                g, pp, kx=padk(f.kx), ky=padk(f.ky), kz=padk(f.kz),
-                phi=phi_pad, wells=wells)
+            pcase = tp_spe10_padded(nz_pad=int(name.split("pad")[-1]))
+            model = pcase.model
             data = jax.tree.map(
                 lambda a: a.astype(jnp.float32)
-                if hasattr(a, "astype") else a, data)
-            model = TwoPhaseModel(g, pp, s_init=0.15)
-        tc = TimeConfig(**{**tc_common, **variants[name]})
+                if hasattr(a, "astype") else a, pcase.data)
+        # unknown names (e.g. the fm-padNN scan family) run the production
+        # failure-memory constants
+        tc = TimeConfig(**{**tc_common,
+                           **variants.get(name, variants["fm06vs"])})
         nc = dataclasses.replace(ncfg, ksp_maxiter=24) if "m24" in name \
             else ncfg
         if "cgs2g" in name:
@@ -204,6 +185,9 @@ def main():
         if "pclag" in name:
             nc = dataclasses.replace(nc, pc_lag="step")
         pc_cfg = case.pc_cfg
+        if "s2x" in name:
+            pc_cfg = dataclasses.replace(pc_cfg, stage2_cols=True,
+                                         stage2_fused=True)
         if "fuse" in name:
             pc_cfg = dataclasses.replace(
                 pc_cfg,
