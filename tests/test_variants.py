@@ -762,3 +762,40 @@ def test_cptr_stage2_levers_match_oracle():
         u, stats = sim.step(u, dt)
         assert bool(stats.converged)
         _compare_states(u, u_ref)
+
+
+@pytest.mark.parametrize("axes", [(0,), (1,), (0, 1)])
+def test_matvec_offdiag_axes_subset(rng, axes):
+    """matvec_offdiag(axes=...) sums exactly the requested axes' terms."""
+    from thermalporous_tpu.core.stencil import apply_blocks
+    from thermalporous_tpu.core.grid import shift_minus, shift_plus
+
+    shape = (5, 6, 4)
+    st = _random_block_stencil(rng, shape)
+    v = jnp.asarray(rng.standard_normal((3,) + shape))
+    got = np.asarray(st.matvec_offdiag(v, axes=axes))
+    want = np.zeros_like(got)
+    for a in axes:
+        want = want + np.asarray(
+            apply_blocks(st.upper[a], shift_minus(v, a, lead=1))
+            + apply_blocks(st.lower[a], shift_plus(v, a, lead=1)))
+    np.testing.assert_allclose(got, want, rtol=1e-13,
+                               atol=1e-13 * np.abs(want).max())
+
+
+def test_stage2_axes_sparsified_matches_oracle():
+    """The sparsified stage-2 smoother operator (stage2_axes) is
+    preconditioning-only: full Newton answers still reproduce the f64
+    dense oracle (iteration counts MAY change — that is the A/B's
+    business, not correctness's)."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(
+        model, data, precond="cptr",
+        pc_cfg=CPRConfig(stage2="rbgs", stage2_fused=True,
+                         stage2_cols=True, stage2_axes=(1,)),
+        newton_cfg=TIGHT)
+    u, stats = sim.step(model.initial_state(data), dts[0])
+    assert bool(stats.converged)
+    _compare_states(u, oracle_states[0])

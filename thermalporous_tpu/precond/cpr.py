@@ -83,6 +83,14 @@ class CPRConfig:
     #   looped form).  Deliberately a different HLO shape from the
     #   family-5 ledger entry; qualify any new scale on axon first.
     stage2_fused: bool = False
+    # stage2_axes — SPARSIFIED smoother operator (VERDICT r4 next-#1b,
+    #   NOT exact): with stage2_fused, restrict the black half-sweep's
+    #   coupling to these grid axes (e.g. (2,) = z only, the SPE10 strong
+    #   axis at ~30x horizontal transmissibility).  Each omitted axis
+    #   drops two 9-field coefficient streams; gate adoption on
+    #   unchanged iteration counts (hard-system probe AND horizon).
+    #   None = full coupling.
+    stage2_axes: tuple[int, ...] | None = None
     stage2_axis: int = 1             # zebra line axis (1 = SPE10 channel y)
     stage2_omega: float = 1.0        # zebra under-relaxation (stability at
                                      # extreme contrast; measured ledger in
@@ -598,7 +606,8 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
             return x1 + fused_block_rbgs(state.stencil, state.dinv, r2)
         if cfg.stage2_fused:
             x2 = block_rbgs_fused_zero(
-                state.stencil, state.dinv_red, state.dinv_black, r2)
+                state.stencil, state.dinv_red, state.dinv_black, r2,
+                axes=cfg.stage2_axes)
             if cfg.stage2_sweeps > 1:
                 x2 = block_red_black_gauss_seidel(
                     state.stencil, state.dinv, r2, x=x2,

@@ -154,6 +154,14 @@ def main():
         "s2fused": dict(_keep_t=True, _pc=dict(stage2_fused=True)),
         "s2both": dict(_keep_t=True, _pc=dict(stage2_cols=True,
                                               stage2_fused=True)),
+        # round-5: SPARSIFIED smoother operator on top of the exact
+        # levers (NOT exact — iteration counts are the gate)
+        "s2z": dict(_keep_t=True, _pc=dict(stage2_cols=True,
+                                           stage2_fused=True,
+                                           stage2_axes=(2,))),
+        "s2yz": dict(_keep_t=True, _pc=dict(stage2_cols=True,
+                                            stage2_fused=True,
+                                            stage2_axes=(1, 2))),
     }
 
     for tag, over in variants.items():

@@ -149,6 +149,10 @@ def main():
         # stage2_fused — bit-exact reformulations, so the trajectory must
         # reproduce fm06vs; the wall is the A/B)
         "fm-s2x": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # ...plus the sparsified (z-only / yz) smoother operator — NOT
+        # exact; the trajectory comparison is the gate
+        "fm-s2z": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        "fm-s2yz": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -188,6 +192,10 @@ def main():
         if "s2x" in name:
             pc_cfg = dataclasses.replace(pc_cfg, stage2_cols=True,
                                          stage2_fused=True)
+        if "s2z" in name:
+            pc_cfg = dataclasses.replace(
+                pc_cfg, stage2_cols=True, stage2_fused=True,
+                stage2_axes=(1, 2) if "s2yz" in name else (2,))
         if "fuse" in name:
             pc_cfg = dataclasses.replace(
                 pc_cfg,
