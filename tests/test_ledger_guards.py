@@ -66,6 +66,31 @@ def test_stencil_pallas_warns_at_scale(axon_backend):
         check_axon_ledger(FLAGSHIP_CELLS, krylov_op="stencil_pallas")
 
 
+def test_stage2_fused_refused_at_scale(axon_backend):
+    # round-5 seventh ledger entry: the fused zero-start RBGS sweep is
+    # exact standalone and on CPU but miscompiles in-step on axon at
+    # full-SPE10 scale (tools/diag_s2.py; BASELINE.md round-5)
+    cfg = CPRConfig(stage2="rbgs", stage2_fused=True)
+    with pytest.raises(ValueError, match="stage2_fused"):
+        check_axon_ledger(FLAGSHIP_CELLS, pc_cfg=cfg)
+
+
+def test_stage2_fused_allowed_below_scale_and_on_cpu(axon_backend):
+    cfg = CPRConfig(stage2="rbgs", stage2_fused=True)
+    check_axon_ledger(262_144, pc_cfg=cfg)          # below scale
+
+
+def test_stage2_cols_allowed_at_scale(axon_backend):
+    # the ADOPTED exact lever (in-step verified): must pass the guard
+    from thermalporous_tpu.presets import tp_spe10_full
+
+    cfg = CPRConfig(stage2="rbgs", stage2_cols=True)
+    check_axon_ledger(FLAGSHIP_CELLS, pc_cfg=cfg)
+    # and the production preset (which now carries it) stays guard-clean
+    check_axon_ledger(FLAGSHIP_CELLS, pc_lag="every",
+                      pc_cfg=tp_spe10_full().pc_cfg)
+
+
 def test_stage2_pallas_warns_at_scale(axon_backend):
     # ADVICE r4: parity of treatment with krylov_op='stencil_pallas' —
     # the fused RBGS kernel's padded lane layout at scale gets a loud flag

@@ -268,6 +268,7 @@ def block_red_black_gauss_seidel(
     b: jax.Array,
     x: jax.Array | None = None,
     sweeps: int = 1,
+    axes: tuple[int, ...] | None = None,
 ) -> jax.Array:
     """Red-black block Gauss–Seidel on a BLOCK 7-point stencil.
 
@@ -280,10 +281,19 @@ def block_red_black_gauss_seidel(
     """
     red = _checkerboard(st.grid_shape, b.dtype)   # (*shape,), broadcasts
     black = 1.0 - red
+    if axes is None:
+        mv = st.matvec
+    else:
+        # SPARSIFIED smoother operator (VERDICT r4 next-#1b): restrict the
+        # neighbour coupling to ``axes`` — D + offdiag(axes).  Each
+        # omitted axis drops two 9-field coefficient streams per matvec;
+        # NOT exact, gate on iteration counts.
+        mv = lambda v: apply_blocks(st.diag, v) + st.matvec_offdiag(
+            v, axes=axes)
 
     def body(_, x):
-        x = x + red * apply_blocks(dinv, b - st.matvec(x))
-        return x + black * apply_blocks(dinv, b - st.matvec(x))
+        x = x + red * apply_blocks(dinv, b - mv(x))
+        return x + black * apply_blocks(dinv, b - mv(x))
 
     if x is None:
         x = jnp.zeros_like(b)

@@ -84,12 +84,13 @@ class CPRConfig:
     #   family-5 ledger entry; qualify any new scale on axon first.
     stage2_fused: bool = False
     # stage2_axes — SPARSIFIED smoother operator (VERDICT r4 next-#1b,
-    #   NOT exact): with stage2_fused, restrict the black half-sweep's
-    #   coupling to these grid axes (e.g. (2,) = z only, the SPE10 strong
-    #   axis at ~30x horizontal transmissibility).  Each omitted axis
-    #   drops two 9-field coefficient streams; gate adoption on
-    #   unchanged iteration counts (hard-system probe AND horizon).
-    #   None = full coupling.
+    #   NOT exact): restrict the rbgs sweep's neighbour coupling to these
+    #   grid axes (e.g. (2,) = z only, the SPE10 strong axis at ~30x
+    #   horizontal transmissibility).  Works with the looped form (both
+    #   half-sweeps' matvecs reduced) and the fused form (black half).
+    #   Each omitted axis drops two 9-field coefficient streams per
+    #   matvec; gate adoption on unchanged iteration counts (hard-system
+    #   probe AND horizon).  None = full coupling.
     stage2_axes: tuple[int, ...] | None = None
     stage2_axis: int = 1             # zebra line axis (1 = SPE10 channel y)
     stage2_omega: float = 1.0        # zebra under-relaxation (stability at
@@ -257,6 +258,27 @@ def check_axon_ledger(
                 "ledger) and is conservatively refused.  Use "
                 "pc_lag='every'."
             )
+    if pc_cfg is not None and pc_cfg.stage2_fused:
+        # SEVENTH ledger entry (round 5, 2026-08-20; an extension of
+        # family 5): the fused zero-start RBGS sweep
+        # (chebyshev.block_rbgs_fused_zero — premasked D⁻¹ halves, elided
+        # A·0 matvec and black-half diag stream) measures EXACT standalone
+        # on axon at full-SPE10 scale (ab_cycle: identical 59/65 iteration
+        # counts, −4.8% wall) AND exact in-step on CPU — but IN-STEP on
+        # axon the first flagship Newton step dies immediately (1 Newton /
+        # 1 ksp, line search fails at norm ~1e-2; tools/diag_s2.py).  The
+        # family-5 "masked half-sweep zero-start" poison is therefore NOT
+        # specific to the unrolled mask-multiply form — the premasked-
+        # coefficient formulation miscompiles identically.  Refuse at
+        # scale; BASELINE.md round-5 ledger.
+        raise ValueError(
+            "stage2_fused=True on the axon/TPU backend at >=0.5M cells: "
+            "the fused zero-start RBGS sweep computes WRONG numerics "
+            "inside the Newton while_loop at full-SPE10 scale (exact "
+            "standalone and on CPU — BASELINE.md round-5 ledger, "
+            "tools/diag_s2.py).  Use stage2_cols (in-step verified) and "
+            "the looped rbgs form."
+        )
     if pc_cfg is not None and pc_cfg.stage2_pallas:
         # parity of treatment with krylov_op='stencil_pallas' below
         # (ADVICE r4): the fused RBGS kernel is measured EXACT at
@@ -614,7 +636,8 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
                     sweeps=cfg.stage2_sweeps - 1)
             return x1 + x2
         return x1 + block_red_black_gauss_seidel(
-            state.stencil, state.dinv, r2, sweeps=cfg.stage2_sweeps
+            state.stencil, state.dinv, r2, sweeps=cfg.stage2_sweeps,
+            axes=cfg.stage2_axes,
         )
     if cfg.stage2 == "zebra":
         from thermalporous_tpu.precond.chebyshev import block_zebra_line_gs

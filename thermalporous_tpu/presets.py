@@ -330,6 +330,16 @@ def tp_spe10_full(seed: int = 2020) -> Case:
                                 ksp_ew=True),
         pc_cfg=CPRConfig(
             stage2="rbgs",
+            # stage2_cols (round-5, VERDICT r4 next-#1a): the stage-2
+            # residual streams only block columns 0:2 of A — bit-exact
+            # (s_stage="none" leaves x₁'s saturation component at zero).
+            # In-step verified on axon at this scale (tools/diag_s2.py:
+            # 4 N/5 ksp + 3 N/7 ksp identical to control and to CPU);
+            # standalone ab_cycle: identical 59/65 iterations, ~-1% solve
+            # wall.  (Its sibling stage2_fused measured -4.8% standalone
+            # but MISCOMPILES in-step on axon — refused by
+            # check_axon_ledger; BASELINE.md round-5 ledger.)
+            stage2_cols=True,
             gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
                           coarsen="adaptive", degree=4,
                           kcycle_min_cells=8192),
@@ -429,9 +439,10 @@ def tp_spe10_inner(seed: int = 2020) -> Case:
         case,
         name="tp_spe10_inner",
         description="FULL SPE10-size, [P2]-faithful inner-iteration CPTR",
-        # gmg_t=None: keep the historical symmetric-hierarchy configuration
+        # gmg_t=None, stage2_cols=False: keep the historical configuration
         # this preset's per-round regression numbers were measured at
-        pc_cfg=dataclasses.replace(case.pc_cfg, inner_iters=2, gmg_t=None),
+        pc_cfg=dataclasses.replace(case.pc_cfg, inner_iters=2, gmg_t=None,
+                                   stage2_cols=False),
     )
 
 

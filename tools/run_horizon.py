@@ -145,12 +145,14 @@ def main():
         # (BASELINE.md round-4).  Kept as the TPU-vs-CPU reproduction
         # harness; the layout lever is blocked on the backend.
         "fm-pad128": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
-        # round-5: exact stage-2 traffic levers (stage2_cols +
-        # stage2_fused — bit-exact reformulations, so the trajectory must
-        # reproduce fm06vs; the wall is the A/B)
-        "fm-s2x": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
-        # ...plus the sparsified (z-only / yz) smoother operator — NOT
-        # exact; the trajectory comparison is the gate
+        # round-5: the preset ADOPTED stage2_cols (bit-exact, in-step
+        # verified); "fm-s2off" is the regression control with it
+        # disabled.  (stage2_fused measured −4.8% standalone but
+        # MISCOMPILES in-step on axon — check_axon_ledger refuses it at
+        # scale; tools/diag_s2.py is its bisection harness.)
+        "fm-s2off": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # sparsified (z-only / yz) smoother operator on the LOOPED rbgs —
+        # NOT exact; the trajectory comparison is the gate
         "fm-s2z": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
         "fm-s2yz": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
@@ -189,13 +191,11 @@ def main():
         if "pclag" in name:
             nc = dataclasses.replace(nc, pc_lag="step")
         pc_cfg = case.pc_cfg
-        if "s2x" in name:
-            pc_cfg = dataclasses.replace(pc_cfg, stage2_cols=True,
-                                         stage2_fused=True)
+        if "s2off" in name:
+            pc_cfg = dataclasses.replace(pc_cfg, stage2_cols=False)
         if "s2z" in name:
             pc_cfg = dataclasses.replace(
-                pc_cfg, stage2_cols=True, stage2_fused=True,
-                stage2_axes=(1, 2) if "s2yz" in name else (2,))
+                pc_cfg, stage2_axes=(1, 2) if "s2yz" in name else (2,))
         if "fuse" in name:
             pc_cfg = dataclasses.replace(
                 pc_cfg,
