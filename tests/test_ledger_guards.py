@@ -154,3 +154,16 @@ def test_make_step_fn_trips_the_guard(axon_backend):
                                              transfer="weighted"))
     with pytest.raises(ValueError, match="all-NaN"):
         make_step_fn(case.model, case.precond, bad_newton, bad_pc)
+
+
+def test_stage2_axes_refused_at_scale(axon_backend):
+    # round-5: the looped sparsified smoother dies in-step at scale too
+    # (diag_s2 'z' arm) — same refusal treatment
+    cfg = CPRConfig(stage2="rbgs", stage2_axes=(2,))
+    with pytest.raises(ValueError, match="stage2_axes"):
+        check_axon_ledger(FLAGSHIP_CELLS, pc_cfg=cfg)
+
+
+def test_stage2_axes_allowed_below_scale(axon_backend):
+    cfg = CPRConfig(stage2="rbgs", stage2_axes=(2,))
+    check_axon_ledger(262_144, pc_cfg=cfg)

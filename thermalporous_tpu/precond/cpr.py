@@ -279,6 +279,20 @@ def check_axon_ledger(
             "tools/diag_s2.py).  Use stage2_cols (in-step verified) and "
             "the looped rbgs form."
         )
+    if pc_cfg is not None and pc_cfg.stage2_axes is not None:
+        # measured in the same round-5 probe session (tools/diag_s2.py
+        # 'z' arm): even the LOOPED rbgs with a reduced-axes body matvec
+        # — program-shape-wise a strict subset of the verified control —
+        # dies identically in-step at flagship scale on axon (1 N/1 ksp).
+        # The backend tolerates NO variation of the in-loop masked
+        # stage-2 smoother at this scale; BASELINE.md round-5 ledger.
+        raise ValueError(
+            "stage2_axes on the axon/TPU backend at >=0.5M cells: the "
+            "sparsified rbgs body matvec computes WRONG numerics inside "
+            "the Newton while_loop at full-SPE10 scale (exact on CPU and "
+            "standalone — BASELINE.md round-5 ledger, tools/diag_s2.py "
+            "'z' arm).  Use the full-coupling looped form."
+        )
     if pc_cfg is not None and pc_cfg.stage2_pallas:
         # parity of treatment with krylov_op='stencil_pallas' below
         # (ADVICE r4): the fused RBGS kernel is measured EXACT at

@@ -154,24 +154,32 @@ def main():
         "s2fused": dict(_keep_t=True, _pc=dict(stage2_fused=True)),
         "s2both": dict(_keep_t=True, _pc=dict(stage2_cols=True,
                                               stage2_fused=True)),
-        # round-5: SPARSIFIED smoother operator on top of the adopted
-        # cols lever, LOOPED form (stage2_fused is ledger-refused at
-        # scale).  NOT exact — iteration counts are the gate.
+        # round-5: SPARSIFIED smoother operator (looped form) — measured
+        # DEAD in-step on axon at scale (diag_s2 'z' arm: 1 N/1 ksp, same
+        # signature as stage2_fused; BASELINE.md round-5 ledger).  Kept
+        # for standalone/CPU iteration-count reference only.
         "s2z": dict(_keep_t=True, _pc=dict(stage2_cols=True,
                                            stage2_axes=(2,))),
         "s2yz": dict(_keep_t=True, _pc=dict(stage2_cols=True,
                                             stage2_axes=(1, 2))),
+        # round-5: stage-2 BLOCK-JACOBI at the flagship point — no mask,
+        # no in-smoother matvec (one dinv stream instead of the rbgs
+        # sweep's 2x63-field streams + 2x dinv).  NOT exact (weaker
+        # smoother) — iterations are the gate; its program family is the
+        # long-verified default stage2.
+        "s2bj": dict(_keep_t=True, _pc=dict(stage2="block_jacobi",
+                                            stage2_cols=True)),
         # round-5 (VERDICT r4 next-#5): bounded stage-1 rescan AT the
-        # post-stage-2-fix baseline — kcycle recursion floor and fine
-        # smooth degree, one session, adopt-or-close
+        # post-stage-2-fix (cols-adopted) baseline — kcycle recursion
+        # floor and fine smooth degree, one session, adopt-or-close
         "s2b-kmin2k": dict(kcycle_min_cells=2048, _keep_t=True,
-                           _pc=dict(stage2_cols=True, stage2_fused=True)),
+                           _pc=dict(stage2_cols=True)),
         "s2b-kmin32k": dict(kcycle_min_cells=32768, _keep_t=True,
-                            _pc=dict(stage2_cols=True, stage2_fused=True)),
+                            _pc=dict(stage2_cols=True)),
         "s2b-deg3": dict(degree=3, _keep_t=True,
-                         _pc=dict(stage2_cols=True, stage2_fused=True)),
+                         _pc=dict(stage2_cols=True)),
         "s2b-deg6": dict(degree=6, _keep_t=True,
-                         _pc=dict(stage2_cols=True, stage2_fused=True)),
+                         _pc=dict(stage2_cols=True)),
     }
 
     for tag, over in variants.items():

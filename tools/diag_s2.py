@@ -62,7 +62,11 @@ def main():
     print(f"# ledger guards DISABLED for this probe "
           f"(real backend: {jax.default_backend()})", flush=True)
 
-    import thermalporous_tpu.precond.chebyshev as chb
+    import importlib
+
+    # the precond package re-exports a FUNCTION named `chebyshev`, which
+    # shadows the submodule on attribute-style imports
+    chb = importlib.import_module("thermalporous_tpu.precond.chebyshev")
     from thermalporous_tpu.core.stencil import apply_blocks
     orig_fused = chb.block_rbgs_fused_zero
 
