@@ -799,3 +799,42 @@ def test_stage2_axes_sparsified_matches_oracle():
     u, stats = sim.step(model.initial_state(data), dts[0])
     assert bool(stats.converged)
     _compare_states(u, oracle_states[0])
+
+
+def test_cptr_stage2_jacobi2_matches_oracle():
+    """The mask-free two-step block-Jacobi stage 2 (round-5 'jacobi2') is
+    preconditioning only: Newton answers reproduce the f64 dense oracle."""
+    model, data = _tp_case(n=6)
+    dts = [3600.0, 7200.0]
+    oracle_states = oracle_run(model, data, dts)
+    sim = Simulator(
+        model, data, precond="cptr",
+        pc_cfg=CPRConfig(stage2="jacobi2", stage2_cols=True),
+        newton_cfg=TIGHT)
+    u = model.initial_state(data)
+    for dt, u_ref in zip(dts, oracle_states):
+        u, stats = sim.step(u, dt)
+        assert bool(stats.converged)
+        _compare_states(u, u_ref)
+
+
+def test_stage2_jacobi2_formula(rng):
+    """jacobi2 ≡ x₁ + D⁻¹r₂ + ω·D⁻¹(r₂ − A·D⁻¹r₂) by hand."""
+    from thermalporous_tpu.core.stencil import apply_blocks
+    from thermalporous_tpu.precond.cpr import cpr_apply, cpr_setup
+
+    model, data = _tp_case(n=6)
+    u = model.initial_state(data)
+    st = model.assemble_stencil(u, u, jnp.asarray(3600.0, u.dtype), data)
+    r = jnp.asarray(rng.standard_normal((3,) + st.grid_shape))
+    cfg = CPRConfig(stage2="jacobi2", stage2_omega=0.8)
+    state = cpr_setup(st, cfg)
+    got = np.asarray(cpr_apply(state, r, cfg))
+    base = CPRConfig(stage2="none")
+    x1 = cpr_apply(cpr_setup(st, base), r, base)
+    r2 = r - st.matvec(x1)
+    x2 = apply_blocks(state.dinv, r2)
+    want = np.asarray(
+        x1 + x2 + 0.8 * apply_blocks(state.dinv, r2 - st.matvec(x2)))
+    np.testing.assert_allclose(got, want, rtol=1e-12,
+                               atol=1e-12 * np.abs(want).max())

@@ -48,7 +48,13 @@ class CPRConfig:
 
     variant: str = "cptr"            # "cpr" | "cptr"
     # stage-2 smoother on the full system (the reference's ILU(0)/bjacobi
-    # role): "block_jacobi" (per-cell exact block solve), "rbgs"
+    # role): "block_jacobi" (per-cell exact block solve), "jacobi2"
+    # (TWO-step block-Jacobi Richardson: x = D⁻¹r₂; x += ω·D⁻¹(r₂ − A·x)
+    # — round 5: matches one RBGS sweep's correction quality class at
+    # 81 coefficient fields instead of 189+ (no masks, no zero-start
+    # matvec), and lives in the long-verified matvec+block-apply program
+    # family where EVERY rbgs variation miscompiles in-step on axon at
+    # scale — BASELINE.md round-5 ledger), "rbgs"
     # (red-black block Gauss-Seidel — propagates transport corrections a
     # cell per color pass, the closer ILU analog), "zebra" (red-black
     # BLOCK line solves along stage2_axis — the dt=76.8 ks full-SPE10
@@ -617,7 +623,8 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
     # stage 2: multiplicative smoother correction on the full system
     if cfg.stage2 == "none":
         return x1
-    if cfg.stage2 not in ("block_jacobi", "rbgs", "zebra", "bgmg"):
+    if cfg.stage2 not in ("block_jacobi", "jacobi2", "rbgs", "zebra",
+                          "bgmg"):
         raise ValueError(f"unknown stage2 {cfg.stage2!r}")
     # stage-2 residual r − A·x₁: when x₁'s trailing components are zero
     # (s_stage == "none"), stream only the block columns it is supported
@@ -629,6 +636,11 @@ def cpr_apply(state: CPRState, r: jax.Array, cfg: CPRConfig = CPRConfig()) -> ja
         r2 = r - state.stencil.matvec(x1)
     if cfg.stage2 == "block_jacobi":
         return x1 + apply_blocks(state.dinv, r2)
+    if cfg.stage2 == "jacobi2":
+        x2 = apply_blocks(state.dinv, r2)
+        x2 = x2 + cfg.stage2_omega * apply_blocks(
+            state.dinv, r2 - state.stencil.matvec(x2))
+        return x1 + x2
     if cfg.stage2 == "rbgs":
         from thermalporous_tpu.precond.chebyshev import (
             block_red_black_gauss_seidel,

@@ -169,6 +169,14 @@ def main():
         # long-verified default stage2.
         "s2bj": dict(_keep_t=True, _pc=dict(stage2="block_jacobi",
                                             stage2_cols=True)),
+        # round-5: two-step block-Jacobi Richardson — one RBGS sweep's
+        # correction class at 81 coefficient fields (no masks, no A·0
+        # matvec), in the verified mask-free program family
+        "s2j2": dict(_keep_t=True, _pc=dict(stage2="jacobi2",
+                                            stage2_cols=True)),
+        "s2j2w08": dict(_keep_t=True, _pc=dict(stage2="jacobi2",
+                                               stage2_omega=0.8,
+                                               stage2_cols=True)),
         # round-5 (VERDICT r4 next-#5): bounded stage-1 rescan AT the
         # post-stage-2-fix (cols-adopted) baseline — kcycle recursion
         # floor and fine smooth degree, one session, adopt-or-close

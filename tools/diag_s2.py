@@ -44,6 +44,8 @@ def main():
         "both": dict(stage2_cols=True, stage2_fused=True),
         "z": dict(stage2_cols=True, stage2_axes=(2,)),       # looped form
         "yz": dict(stage2_cols=True, stage2_axes=(1, 2)),
+        "j2": dict(stage2="jacobi2", stage2_cols=True),
+        "bj": dict(stage2="block_jacobi", stage2_cols=True),
         # half-fused bisect arms (2026-08-20: "fused" miscompiles in-step
         # on axon — FGMRES dead from iteration 1 — while standalone AND
         # CPU in-step are exact; these isolate which half poisons):

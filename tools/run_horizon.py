@@ -152,9 +152,13 @@ def main():
         # scale; tools/diag_s2.py is its bisection harness.)
         "fm-s2off": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
         # sparsified (z-only / yz) smoother operator on the LOOPED rbgs —
-        # NOT exact; the trajectory comparison is the gate
+        # measured DEAD in-step on axon at scale (diag_s2 'z'); CPU only
         "fm-s2z": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
         "fm-s2yz": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        # two-step block-Jacobi stage 2 (mask-free; see CPRConfig.stage2
+        # "jacobi2") and plain block-Jacobi — iteration/trajectory gated
+        "fm-s2j2": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
+        "fm-s2bj": dict(growth=2.0, fail_frac=0.6, fail_relax=1.05),
     }
 
     for name in names:
@@ -193,6 +197,10 @@ def main():
         pc_cfg = case.pc_cfg
         if "s2off" in name:
             pc_cfg = dataclasses.replace(pc_cfg, stage2_cols=False)
+        if "s2j2" in name:
+            pc_cfg = dataclasses.replace(pc_cfg, stage2="jacobi2")
+        if "s2bj" in name:
+            pc_cfg = dataclasses.replace(pc_cfg, stage2="block_jacobi")
         if "s2z" in name:
             pc_cfg = dataclasses.replace(
                 pc_cfg, stage2_axes=(1, 2) if "s2yz" in name else (2,))
