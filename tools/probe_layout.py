@@ -31,7 +31,8 @@ def slope(shape):
     wb = (time.perf_counter() - t0) / reps
     return (wb - wa) / 200.0
 
-for shape in [(60, 220, 85), (60, 220, 128), (85, 60, 220), (60, 85, 220)]:
+for shape in [(60, 220, 85), (60, 220, 96), (60, 220, 112), (60, 220, 120),
+              (60, 220, 128), (85, 60, 220), (60, 85, 220)]:
     ms = slope(shape) * 1e3
     cells = math.prod(shape)
     print(f"{str(shape):16s} cells={cells:8d}  matvec {ms:6.3f} ms  "
