@@ -29,13 +29,56 @@ def main():
     from thermalporous_tpu.presets import tp_spe10_full
     from thermalporous_tpu.solve import Simulator
 
-    names = sys.argv[1:] or ["ctrl", "cols", "fused", "both"]
-    case = tp_spe10_full()
-    model = case.model
-    data = jax.tree.map(
-        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a,
-        case.data)
-    u0 = model.initial_state(data, dtype=jnp.float32)
+    args = list(sys.argv[1:])
+    bench = "--bench" in args
+    if bench:
+        args.remove("--bench")
+    names = args or ["ctrl", "cols", "fused", "both"]
+    if bench:
+        # the bench.py workload (1024² two-phase, block_jacobi stage 2) —
+        # a DIFFERENT shape family from the verified 3D flagship, so the
+        # cols lever needs its own in-step qualification here
+        import dataclasses as dc
+
+        import numpy as np
+
+        from thermalporous_tpu.core import Grid
+        from thermalporous_tpu.models import TwoPhaseModel, make_problem_data
+        from thermalporous_tpu.physics import PhysicalParams, Well
+        from thermalporous_tpu.precond import CPRConfig, GMGConfig
+        from thermalporous_tpu.solve import NewtonConfig
+
+        n = 1024
+        pp = PhysicalParams()
+        grid = Grid(shape=(n, n), spacing=(5.0, 5.0), thickness=10.0)
+        rngb = np.random.default_rng(11)
+        kxb = 2e-13 * np.exp(0.5 * rngb.standard_normal(grid.shape))
+        wellsb = [
+            Well(cells=((0, 0),), control="bhp", p_bh=4.0e7, T_inj=420.0),
+            Well(cells=((n - 1, n - 1),), control="bhp", p_bh=1.0e7),
+        ]
+        datab = make_problem_data(grid, pp, kx=kxb, phi=0.2, wells=wellsb,
+                                  dtype=jnp.float32)
+        ncfgb = NewtonConfig(rtol=1e-4, atol=2e-5, ksp_rtol=1e-2,
+                             ksp_maxiter=24, max_iters=14, pc_lag="every",
+                             krylov_op="stencil", ksp_basis="bf16",
+                             ksp_orth="cgs2g")
+        pcb = CPRConfig(gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
+                                      degree=4),
+                        gmg_t=GMGConfig(cycle_type="v",
+                                        max_coarse_cells=1024, degree=2))
+        case = type("C", (), dict(
+            model=TwoPhaseModel(grid, pp, s_init=0.2), data=datab,
+            newton_cfg=ncfgb, pc_cfg=pcb))
+        model, data = case.model, case.data
+        u0 = model.initial_state(data, dtype=jnp.float32)
+    else:
+        case = tp_spe10_full()
+        model = case.model
+        data = jax.tree.map(
+            lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a,
+            case.data)
+        u0 = model.initial_state(data, dtype=jnp.float32)
 
     variants = {
         "ctrl": {},
