@@ -110,7 +110,14 @@ def main():
     # kcycle_min_cells floor measured WORSE than cheap-T alone here
     # (+20 ksp, 25.5M) — 2D hierarchies are shallow — so only the
     # flagship 3D preset carries it.
-    pc_cfg = CPRConfig(gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
+    # stage2_cols (round-5): the stage-2 residual streams only block
+    # columns 0:2 of A — bit-exact (see CPRConfig.stage2_cols; 30 of 45
+    # coefficient fields at this 2D 5-point stencil).  In-step qualified
+    # at this 1024² shape on axon (tools/diag_s2.py --bench: counts and
+    # norms match CPU) and A/B'd on this exact workload (BASELINE.md
+    # round-5: same accepted trajectory, value within the round band).
+    pc_cfg = CPRConfig(stage2_cols=True,
+                       gmg=GMGConfig(cycle_type="k", max_coarse_cells=1024,
                                      degree=4),
                        gmg_t=GMGConfig(cycle_type="v", max_coarse_cells=1024,
                                        degree=2))
