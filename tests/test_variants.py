@@ -702,7 +702,7 @@ def test_stage2_levers_apply_identical(rng):
     for variant in ("cptr", "cpr"):
         for sweeps in (1, 2):
             base = CPRConfig(variant=variant, stage2="rbgs",
-                             stage2_sweeps=sweeps)
+                             stage2_sweeps=sweeps, stage2_cols=False)
             fast = dataclasses.replace(base, stage2_cols=True,
                                        stage2_fused=True)
             want = np.asarray(cpr_apply(cpr_setup(st, base), r, base))
@@ -722,7 +722,7 @@ def test_stage2_cols_block_jacobi_and_zebra(rng):
     st = model.assemble_stencil(u, u, jnp.asarray(3600.0, u.dtype), data)
     r = jnp.asarray(rng.standard_normal((3,) + st.grid_shape))
     for stage2 in ("block_jacobi", "zebra"):
-        base = CPRConfig(stage2=stage2)
+        base = CPRConfig(stage2=stage2, stage2_cols=False)
         fast = dataclasses.replace(base, stage2_cols=True)
         want = np.asarray(cpr_apply(cpr_setup(st, base), r, base))
         got = np.asarray(cpr_apply(cpr_setup(st, fast), r, fast))
@@ -739,7 +739,7 @@ def test_stage2_cols_disabled_with_s_stage(rng):
     u = model.initial_state(data)
     st = model.assemble_stencil(u, u, jnp.asarray(3600.0, u.dtype), data)
     r = jnp.asarray(rng.standard_normal((3,) + st.grid_shape))
-    base = CPRConfig(stage2="rbgs", s_stage="rbgs")
+    base = CPRConfig(stage2="rbgs", s_stage="rbgs", stage2_cols=False)
     fast = dataclasses.replace(base, stage2_cols=True, stage2_fused=True)
     want = np.asarray(cpr_apply(cpr_setup(st, base), r, base))
     got = np.asarray(cpr_apply(cpr_setup(st, fast), r, fast))

@@ -81,8 +81,15 @@ class CPRConfig:
     # stage2_cols — the stage-2 residual r − A·x₁ streams only the block
     #   COLUMNS x₁ is supported on (0:2 for CPTR, 0:1 for CPR) when
     #   s_stage == "none" leaves the trailing components of x₁ at zero;
-    #   cuts 1/3 of that matvec's coefficient bytes.
-    stage2_cols: bool = False
+    #   cuts 1/3 of that matvec's coefficient bytes.  DEFAULT ON since
+    #   round 5: bit-exact everywhere by construction (it lives in the
+    #   residual matvec's verified apply_blocks idiom, NOT the
+    #   miscompile-prone masked-smoother neighborhood), in-step verified
+    #   on axon at the 3D flagship AND the 2D 1024² bench shapes
+    #   (tools/diag_s2.py; BASELINE.md round-5), +3.4% on the 8-day
+    #   horizon / +1.7% on bench.  Disable only to reproduce historical
+    #   pre-round-5 measurements (tp_spe10_inner does).
+    stage2_cols: bool = True
     # stage2_fused — stage2="rbgs", first sweep only: zero-start sweep via
     #   setup-premasked D⁻¹ halves (the looped body's A·0 matvec and the
     #   black half's diag stream are elided; extra sweeps continue in the
