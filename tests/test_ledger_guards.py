@@ -127,19 +127,53 @@ def test_batch_pt_setup_refused_at_scale(axon_backend, rng):
 
 
 def test_production_presets_pass_the_guard(axon_backend):
-    # every named preset must construct its step guard-clean on axon
+    # every named preset must construct its step guard-clean on axon —
+    # EXCEPT the diagnostic padded preset, whose default nz=128 is the
+    # canonical sixth-family repro and must now be REFUSED by shape
     from thermalporous_tpu.presets import PRESETS
 
     for name, factory in PRESETS.items():
         case = factory()
         import math
 
-        check_axon_ledger(
-            math.prod(case.model.grid.shape),
+        args = dict(
             pc_lag=case.newton_cfg.pc_lag,
             krylov_op=case.newton_cfg.krylov_op,
             pc_cfg=case.pc_cfg,
+            grid_shape=case.model.grid.shape,
         )
+        n = math.prod(case.model.grid.shape)
+        if name == "tp_spe10_padded":
+            with pytest.raises(ValueError, match="miscompile family"):
+                check_axon_ledger(n, **args)
+        else:
+            check_axon_ledger(n, **args)
+
+
+def test_known_bad_shapes_refused(axon_backend):
+    # round-5: the measured sixth-family shapes are refused statically...
+    for shape in ((60, 220, 120), (60, 220, 128)):
+        with pytest.raises(ValueError, match="miscompile family"):
+            check_axon_ledger(60 * 220 * shape[2], grid_shape=shape)
+    # ...while the qualified padded shapes and the flagship pass
+    for shape in ((60, 220, 85), (60, 220, 96), (60, 220, 112)):
+        check_axon_ledger(60 * 220 * shape[2], grid_shape=shape)
+
+
+@pytest.mark.slow
+def test_qualify_protocol_bypasses_shape_guard(axon_backend):
+    # the qualify protocol must be able to MEASURE refused shapes (its
+    # purpose); it patches the backend probe around step construction.
+    # Build the tiny-case equivalent: Simulator on a bad shape via
+    # qualify_steps must not raise at construction (run 0 steps).
+    from thermalporous_tpu.presets import get_case
+    from thermalporous_tpu.qualify import qualify_steps
+
+    case = get_case("tp_spe10_padded", nz_pad=128)
+    # steps=0: construction (where the guard fires) happens, no solves —
+    # keeps the test cheap at the 1.7M-cell shape
+    recs = qualify_steps(case, steps=0)
+    assert recs == []
 
 
 def test_make_step_fn_trips_the_guard(axon_backend):

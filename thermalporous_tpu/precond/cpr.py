@@ -211,6 +211,15 @@ class CPRConfig:
 #: (collapse measured at 1024² = 1.05M cells; 512² = 262k verified exact)
 LEDGER_SCALE_CELLS = 500_000
 
+#: grid shapes MEASURED to compute wrong numerics in-step on axon (the
+#: sixth, grid-shape-dependent family): the inert-padded flagship stalls
+#: Newton at these nz (16 N at the KSP cap; CPU same scale/dtype
+#: converges in 4 N/5 ksp) while nz=85/96/112 are exact — round-5
+#: bisection, BASELINE.md.  Qualify any NEW shape at scale with
+#: tools/qualify_shape.py before trusting it (the qualify protocol
+#: bypasses this guard — its job is measuring suspect shapes).
+KNOWN_BAD_SHAPES = {(60, 220, 120), (60, 220, 128)}
+
 
 def _backend() -> str:
     """Current default backend (separated for tests to monkeypatch)."""
@@ -236,15 +245,26 @@ def check_axon_ledger(
     pc_lag: str = "every",
     krylov_op: str = "stencil",
     pc_cfg: "CPRConfig | None" = None,
+    grid_shape: tuple[int, ...] | None = None,
 ) -> None:
     """Refuse (or warn on) measured-unsafe config combinations on axon/TPU.
 
     Called from ``solve.timeloop.make_step_fn`` once per step-function
     construction — every argument is static, so this is free under jit.
-    Each branch cites its BASELINE.md round-3 ledger entry.
+    Each branch cites its BASELINE.md ledger entry.
     """
     if not _tpu_at_scale(n_cells):
         return
+    if grid_shape is not None and tuple(grid_shape) in KNOWN_BAD_SHAPES:
+        raise ValueError(
+            f"grid shape {tuple(grid_shape)} on the axon/TPU backend is a "
+            "MEASURED member of the grid-shape-dependent miscompile family "
+            "(in-step Newton stalls at the KSP cap while CPU converges — "
+            "BASELINE.md round-4/-5 sixth-family bisection).  Use the "
+            "unpadded (60, 220, 85) flagship or a QUALIFIED padded shape "
+            "(96/112 measured exact); qualify new shapes with "
+            "tools/qualify_shape.py."
+        )
     if pc_cfg is not None:
         transfers = {pc_cfg.gmg.transfer} | (
             {pc_cfg.gmg_t.transfer} if pc_cfg.gmg_t is not None else set()

@@ -47,14 +47,23 @@ def qualify_steps(case, steps: int = 4, dt0: float | None = None,
     import jax
     import jax.numpy as jnp
 
+    from thermalporous_tpu.precond import cpr
     from thermalporous_tpu.solve import Simulator
 
     dtype = dtype or jnp.float32
     model, data = case.model, case.data
     data = jax.tree.map(
         lambda a: a.astype(dtype) if hasattr(a, "astype") else a, data)
-    sim = Simulator(model, data, precond=case.precond,
-                    newton_cfg=case.newton_cfg, pc_cfg=case.pc_cfg)
+    # the qualification's whole job is MEASURING shapes/configs the
+    # static ledger guard refuses (e.g. the KNOWN_BAD_SHAPES repros) —
+    # bypass the guard for the step construction only, then restore
+    orig_backend = cpr._backend
+    cpr._backend = lambda: f"qualify[{jax.default_backend()}]"
+    try:
+        sim = Simulator(model, data, precond=case.precond,
+                        newton_cfg=case.newton_cfg, pc_cfg=case.pc_cfg)
+    finally:
+        cpr._backend = orig_backend
     u = model.initial_state(data, dtype=dtype)
     # start BELOW dt_init: the ledgered stall reproduces at the easiest
     # (smallest-Δt) step, so the ramp must include one

@@ -57,6 +57,7 @@ def make_step_fn(
         pc_lag=newton_cfg.pc_lag,
         krylov_op=newton_cfg.krylov_op,
         pc_cfg=pc_cfg if precond in ("cpr", "cptr") else None,
+        grid_shape=model.grid.shape,
     )
     pc_setup, pc_apply = make_preconditioner(precond, pc_cfg)
 

@@ -168,7 +168,11 @@ def main():
             data)
         if "pad" in name and name.split("pad")[-1].isdigit():
             # inert-z-padded flagship (round-5: construction lives in
-            # presets.tp_spe10_padded; "fm-pad128" etc.)
+            # presets.tp_spe10_padded; "fm-pad128" etc.).  NOTE: the
+            # KNOWN_BAD_SHAPES guard refuses 120/128 on axon at step
+            # construction now — reproduce those through
+            # tools/qualify_shape.py (which bypasses the guard to
+            # measure); qualified shapes (96/112) run here normally.
             from thermalporous_tpu.presets import tp_spe10_padded
 
             pcase = tp_spe10_padded(nz_pad=int(name.split("pad")[-1]))
